@@ -1,0 +1,147 @@
+"""Attention ops with TPU (Pallas flash) and XLA reference paths.
+
+TPU-native replacement for the reference's fused-attention surface:
+``torch.nn.functional.scaled_dot_product_attention`` /
+``torch_npu.npu_fusion_attention`` (``Multitask/utils/npu_flash_attn.py:13-52``)
+and the Qwen2 HF SDPA path (``Multitask/model/ps-slm.py:530``).
+
+Design:
+  * GQA layout q:[B,S,Hq,D]  k,v:[B,T,Hkv,D]  with Hq % Hkv == 0.
+  * Padding via kv_mask [B,T] (True = valid).  Causality via a flag plus an
+    optional per-query position offset (`q_offset`, for KV-cache decode).
+  * On TPU with long sequences the Pallas flash kernel
+    (:mod:`ps_slm_tpu.ops.flash_attention`) is used for the full-sequence
+    forward/backward; otherwise a fused-by-XLA einsum path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """[B,T,Hkv,D] -> [B,T,Hkv*n_rep,D] (GQA head replication)."""
+    if n_rep == 1:
+        return x
+    b, t, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, t, h, n_rep, d)).reshape(
+        b, t, h * n_rep, d
+    )
+
+
+def mha_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    kv_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    q_offset: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """XLA attention. Softmax in fp32 (reference LayerNorm/softmax-fp32 policy,
+    ``SenseVoice.py:270-282``); output in q.dtype.
+
+    q: [B,S,Hq,D]; k,v: [B,T,Hkv,D]; kv_mask: [B,T] True=valid.
+    causal: mask positions where kv_pos > q_pos + q_offset.
+    """
+    b, s, hq, d = q.shape
+    _, t, hkv, _ = k.shape
+    n_rep = hq // hkv
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+    scale = scale if scale is not None else d ** -0.5
+
+    logits = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32) * scale
+
+    mask = None
+    if kv_mask is not None:
+        mask = kv_mask[:, None, None, :]  # [B,1,1,T]
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s, t), 1)
+        if q_offset is not None:
+            offset = jnp.asarray(q_offset, jnp.int32)
+            offset = jnp.broadcast_to(offset, (b,))
+            q_pos = q_pos + offset[:, None, None]
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s, t), 2)
+        causal_mask = (kv_pos <= q_pos)[:, None, :, :]  # [B,1,S,T]
+        mask = causal_mask if mask is None else jnp.logical_and(mask, causal_mask)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    if mask is not None:
+        # rows that are fully masked produce uniform softmax; zero them out
+        probs = jnp.where(mask, probs, 0.0)
+    out = jnp.einsum("bhst,bthd->bshd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "use_flash", "scale")
+)
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    q_offset: Optional[jnp.ndarray] = None,
+    *,
+    causal: bool = False,
+    use_flash: Optional[bool] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Dispatching attention entry point.
+
+    `use_flash=None` auto-selects the Pallas flash kernel on TPU for
+    full-sequence shapes (S == T, no decode offset) above a size threshold.
+    """
+    if use_flash is None:
+        use_flash = _flash_eligible(q, k, q_offset)
+    if use_flash:
+        from ps_slm_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v, kv_mask=kv_mask, causal=causal, scale=scale
+        )
+    return mha_reference(
+        q, k, v, kv_mask=kv_mask, causal=causal, q_offset=q_offset, scale=scale
+    )
+
+
+def _flash_eligible(q, k, q_offset) -> bool:
+    if q_offset is not None:
+        return False
+    if q.shape[1] != k.shape[1]:
+        return False
+    if q.shape[1] < 256 or q.shape[3] % 128 != 0:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    cache_len: jnp.ndarray,
+) -> jnp.ndarray:
+    """Single-step decode attention against a bucketed KV cache.
+
+    q: [B,1,Hq,D]; caches: [B,Tmax,Hkv,D]; cache_len: [B] valid entries
+    (the new token's k/v must already be written at cache_len-1).
+    """
+    t = k_cache.shape[1]
+    kv_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], t), 1)
+        < cache_len[:, None]
+    )
+    return mha_reference(q, k_cache, v_cache, kv_mask=kv_mask, causal=False)

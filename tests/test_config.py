@@ -1,0 +1,50 @@
+"""Config system: dataclass defaults + CLI override parsing."""
+
+import pytest
+
+from ps_slm_tpu.config import RunConfig, parse_cli, to_dict
+
+
+def test_defaults_match_reference_recipe():
+    cfg = RunConfig()
+    # conf/ds_config.json:4-27 parity
+    assert cfg.train_config.lr == 5e-5
+    assert cfg.train_config.warmup_steps == 200
+    assert cfg.train_config.total_steps == 15000
+    # aispeech_asr_config.py:41-50
+    assert cfg.train_config.peft_config.r == 64
+    assert "q_proj" in cfg.train_config.peft_config.target_modules
+    # aispeech_asr_config.py:53-63
+    assert cfg.dataset_config.fbank.num_mel_bins == 80
+    assert cfg.dataset_config.fbank.window_type == "hamming"
+
+
+def test_cli_overrides():
+    cfg = parse_cli(
+        [
+            "++train_config.lr=1e-4",
+            "++train_config.do_psd=true",
+            "++model_config.encoder_projector=linear-silu",
+            "++model_config.encoder_dim=25055",
+            "++dataset_config.train_max_frame_length=3000",
+            "++train_config.mesh_shape={\"data\": 2, \"fsdp\": 4}",
+            "ckpt_path=/tmp/x.bin",
+        ]
+    )
+    assert cfg.train_config.lr == 1e-4
+    assert cfg.train_config.do_psd is True
+    assert cfg.model_config.encoder_dim == 25055
+    assert cfg.dataset_config.train_max_frame_length == 3000
+    assert cfg.train_config.mesh_shape == {"data": 2, "fsdp": 4}
+    assert cfg.ckpt_path == "/tmp/x.bin"
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        parse_cli(["++train_config.nonexistent=1"])
+
+
+def test_to_dict_roundtrip():
+    d = to_dict(RunConfig())
+    assert d["train_config"]["lr"] == 5e-5
+    assert isinstance(d["model_config"], dict)
