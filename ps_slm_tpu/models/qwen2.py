@@ -1,0 +1,422 @@
+"""Qwen2/Qwen2.5 decoder LLM, TPU-native.
+
+Replaces the reference's HF ``AutoModelForCausalLM`` usage
+(``Multitask/model/ps-slm.py:89-127,530,660-675``) with a functional JAX
+implementation: RMSNorm, rotary embeddings, GQA attention (Pallas flash on
+TPU), SwiGLU MLP, tied or untied LM head.  Parameters are a pytree with
+**stacked layer leaves** (leading axis = layer) consumed by ``lax.scan`` —
+one compiled block regardless of depth, which is both compile-time- and
+remat-friendly.
+
+Checkpoint compatibility: :func:`load_hf_checkpoint` reads HF safetensors
+(``model.layers.N.self_attn.q_proj.weight`` etc.) bit-exactly into the pytree;
+:func:`params_to_hf` inverts it (used by the ``pytorch_model.bin`` exporter).
+
+Numerics policy (reference parity): RMSNorm/softmax in fp32, matmuls in the
+param dtype (bf16 on TPU) with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ps_slm_tpu.ops.attention import attention, mha_reference
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 151936
+    hidden_size: int = 1536
+    intermediate_size: int = 8960
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 12
+    num_key_value_heads: int = 2
+    head_dim: int = 128
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    max_position_embeddings: int = 32768
+    attention_bias: bool = True   # Qwen2 uses bias on q/k/v projections
+
+    @staticmethod
+    def tiny(**kw) -> "Qwen2Config":
+        """Small config for tests."""
+        base = dict(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, rope_theta=10000.0,
+        )
+        base.update(kw)
+        return Qwen2Config(**base)
+
+    @staticmethod
+    def from_hf(config: dict) -> "Qwen2Config":
+        """Build from an HF ``config.json`` dict."""
+        hd = config.get("head_dim") or (
+            config["hidden_size"] // config["num_attention_heads"]
+        )
+        return Qwen2Config(
+            vocab_size=config["vocab_size"],
+            hidden_size=config["hidden_size"],
+            intermediate_size=config["intermediate_size"],
+            num_hidden_layers=config["num_hidden_layers"],
+            num_attention_heads=config["num_attention_heads"],
+            num_key_value_heads=config["num_key_value_heads"],
+            head_dim=hd,
+            rope_theta=config.get("rope_theta", 1e6),
+            rms_norm_eps=config.get("rms_norm_eps", 1e-6),
+            tie_word_embeddings=config.get("tie_word_embeddings", False),
+            max_position_embeddings=config.get("max_position_embeddings", 32768),
+        )
+
+
+# ----------------------------------------------------------------------------
+# Parameter init / IO
+# ----------------------------------------------------------------------------
+
+def init_params(key, cfg: Qwen2Config, dtype=jnp.float32) -> Params:
+    """Random init (tests / from-scratch training)."""
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    L = cfg.num_hidden_layers
+    ks = jax.random.split(key, 10)
+
+    def norm_init(k, shape, fan_in):
+        return (jax.random.normal(k, shape) / math.sqrt(fan_in)).astype(dtype)
+
+    layers = {
+        "input_layernorm": jnp.ones((L, h), dtype),
+        "post_attention_layernorm": jnp.ones((L, h), dtype),
+        "q_proj": {"kernel": norm_init(ks[0], (L, h, nh * hd), h)},
+        "k_proj": {"kernel": norm_init(ks[1], (L, h, nkv * hd), h)},
+        "v_proj": {"kernel": norm_init(ks[2], (L, h, nkv * hd), h)},
+        "o_proj": {"kernel": norm_init(ks[3], (L, nh * hd, h), nh * hd)},
+        "gate_proj": {"kernel": norm_init(ks[4], (L, h, i), h)},
+        "up_proj": {"kernel": norm_init(ks[5], (L, h, i), h)},
+        "down_proj": {"kernel": norm_init(ks[6], (L, i, h), i)},
+    }
+    if cfg.attention_bias:
+        layers["q_proj"]["bias"] = jnp.zeros((L, nh * hd), dtype)
+        layers["k_proj"]["bias"] = jnp.zeros((L, nkv * hd), dtype)
+        layers["v_proj"]["bias"] = jnp.zeros((L, nkv * hd), dtype)
+
+    params: Params = {
+        "embed_tokens": norm_init(ks[7], (cfg.vocab_size, h), h),
+        "layers": layers,
+        "norm": jnp.ones((h,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = norm_init(ks[8], (h, cfg.vocab_size), h)
+    return params
+
+
+_HF_LAYER_KEYS = {
+    "input_layernorm.weight": ("input_layernorm", None),
+    "post_attention_layernorm.weight": ("post_attention_layernorm", None),
+    "self_attn.q_proj.weight": ("q_proj", "kernel"),
+    "self_attn.k_proj.weight": ("k_proj", "kernel"),
+    "self_attn.v_proj.weight": ("v_proj", "kernel"),
+    "self_attn.o_proj.weight": ("o_proj", "kernel"),
+    "self_attn.q_proj.bias": ("q_proj", "bias"),
+    "self_attn.k_proj.bias": ("k_proj", "bias"),
+    "self_attn.v_proj.bias": ("v_proj", "bias"),
+    "mlp.gate_proj.weight": ("gate_proj", "kernel"),
+    "mlp.up_proj.weight": ("up_proj", "kernel"),
+    "mlp.down_proj.weight": ("down_proj", "kernel"),
+}
+
+
+def load_hf_checkpoint(
+    path: str, cfg: Optional[Qwen2Config] = None, dtype=jnp.bfloat16
+) -> Tuple[Params, Qwen2Config]:
+    """Load an HF Qwen2 checkpoint directory (safetensors) into the pytree.
+
+    Torch ``Linear.weight`` is [out, in]; JAX kernels are [in, out] → transpose.
+    """
+    from safetensors import safe_open
+
+    if cfg is None:
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = Qwen2Config.from_hf(json.load(f))
+
+    tensors: Dict[str, np.ndarray] = {}
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".safetensors")
+    )
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {path}")
+    for fname in files:
+        with safe_open(os.path.join(path, fname), framework="numpy") as f:
+            for key in f.keys():
+                tensors[key] = f.get_tensor(key)
+
+    return hf_tensors_to_params(tensors, cfg, dtype), cfg
+
+
+def hf_tensors_to_params(
+    tensors: Dict[str, np.ndarray], cfg: Qwen2Config, dtype=jnp.bfloat16
+) -> Params:
+    """Map a flat HF state dict (numpy) onto the stacked-layer pytree."""
+    L = cfg.num_hidden_layers
+
+    def get(name):
+        # some exports prefix with "model."
+        for cand in (name, f"model.{name}"):
+            if cand in tensors:
+                return tensors[cand]
+        raise KeyError(name)
+
+    def stack(suffix, transpose):
+        mats = []
+        for l in range(L):
+            m = np.asarray(get(f"layers.{l}.{suffix}"))
+            mats.append(m.T if transpose else m)
+        return jnp.asarray(np.stack(mats), dtype)
+
+    layers: Params = {}
+    for suffix, (name, leaf) in _HF_LAYER_KEYS.items():
+        transpose = leaf == "kernel"
+        try:
+            arr = stack(suffix, transpose)
+        except KeyError:
+            if suffix.endswith("bias"):
+                continue  # bias-free variants
+            raise
+        if leaf is None:
+            layers[name] = arr
+        else:
+            layers.setdefault(name, {})[leaf] = arr
+
+    params: Params = {
+        "embed_tokens": jnp.asarray(get("embed_tokens.weight"), dtype),
+        "layers": layers,
+        "norm": jnp.asarray(get("norm.weight"), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        lm = tensors.get("lm_head.weight")
+        if lm is None:
+            raise KeyError("lm_head.weight (untied config)")
+        params["lm_head"] = jnp.asarray(np.asarray(lm).T, dtype)
+    return params
+
+
+def params_to_hf(params: Params, cfg: Qwen2Config) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`hf_tensors_to_params` (for checkpoint export)."""
+    out: Dict[str, np.ndarray] = {}
+    out["model.embed_tokens.weight"] = np.asarray(
+        params["embed_tokens"], np.float32
+    )
+    out["model.norm.weight"] = np.asarray(params["norm"], np.float32)
+    layers = params["layers"]
+    for suffix, (name, leaf) in _HF_LAYER_KEYS.items():
+        node = layers.get(name)
+        if node is None:
+            continue
+        arr = node if leaf is None else node.get(leaf)
+        if arr is None:
+            continue
+        arr = np.asarray(arr, np.float32)
+        for l in range(cfg.num_hidden_layers):
+            m = arr[l]
+            if leaf == "kernel":
+                m = m.T
+            out[f"model.layers.{l}.{suffix}"] = m
+    if "lm_head" in params:
+        out["lm_head.weight"] = np.asarray(params["lm_head"], np.float32).T
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm with fp32 statistics (HF Qwen2RMSNorm semantics)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, rotate-half convention (HF Qwen2/Llama).
+
+    x: [B,S,H,D]; positions: [B,S] int32.
+    """
+    d = x.shape[-1]
+    freqs = 1.0 / (
+        theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    )  # [D/2]
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B,S,D/2]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _linear(x, p):
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _layer_slice(layers: Params, l_or_none) -> Params:
+    if l_or_none is None:
+        return layers
+    return jax.tree_util.tree_map(lambda a: a[l_or_none], layers)
+
+
+def _block(
+    lp: Params,
+    cfg: Qwen2Config,
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    attn_mask: Optional[jnp.ndarray],
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    cache_index: Optional[jnp.ndarray],
+    use_flash: Optional[bool],
+):
+    """One transformer block. Returns (x_out, (k_cache, v_cache))."""
+    b, s, h = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    y = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    q = _linear(y, lp["q_proj"]).reshape(b, s, nh, hd)
+    k = _linear(y, lp["k_proj"]).reshape(b, s, nkv, hd)
+    v = _linear(y, lp["v_proj"]).reshape(b, s, nkv, hd)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+
+    if cache_kv is not None:
+        k_cache, v_cache = cache_kv
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0)
+        )
+        attn = mha_reference(
+            q, k_cache, v_cache, kv_mask=attn_mask, causal=True,
+            q_offset=cache_index,
+        )
+        new_cache = (k_cache, v_cache)
+    else:
+        attn = attention(
+            q, k, v, kv_mask=attn_mask, causal=True, use_flash=use_flash
+        )
+        new_cache = (k, v)
+
+    x = x + _linear(attn.reshape(b, s, nh * hd), lp["o_proj"])
+
+    y = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = _linear(y, lp["gate_proj"])
+    up = _linear(y, lp["up_proj"])
+    x = x + _linear(jax.nn.silu(gate) * up, lp["down_proj"])
+    return x, new_cache
+
+
+def embed(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed_tokens"][input_ids]
+
+
+def unembed(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """hidden -> vocab logits (fp32)."""
+    w = params.get("lm_head")
+    if w is None:
+        w = params["embed_tokens"].T
+    return (hidden @ w.astype(hidden.dtype)).astype(jnp.float32)
+
+
+def forward(
+    params: Params,
+    cfg: Qwen2Config,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+    *,
+    use_flash: Optional[bool] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """Run the decoder stack. Returns (last_hidden, new_cache).
+
+    attention_mask: [B, T] with T == S (no cache) or T == cache capacity.
+    position_ids:   [B, S]; default = cumsum over attention_mask (HF semantics,
+                    matches the merge's position_ids at ps-slm.py:871).
+    cache:          {"k": [L,B,T,nkv,hd], "v": ...} bucketed KV cache.
+    cache_index:    scalar int — write offset of this chunk in the cache.
+    """
+    b, s, _ = inputs_embeds.shape
+    if position_ids is None:
+        if attention_mask is not None and cache is None:
+            am = attention_mask.astype(jnp.int32)
+            position_ids = jnp.clip(jnp.cumsum(am, axis=-1) - 1, 0, None)
+        else:
+            base = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+            position_ids = base + (0 if cache_index is None else cache_index)
+
+    x = inputs_embeds
+
+    if cache is not None:
+        cache_kv_stacked = (cache["k"], cache["v"])
+    else:
+        cache_kv_stacked = None
+
+    def body(x, layer_and_cache):
+        lp, ckv = layer_and_cache
+        x, new_ckv = _block(
+            lp, cfg, x, position_ids, attention_mask, ckv, cache_index,
+            use_flash,
+        )
+        return x, new_ckv
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    if cache_kv_stacked is not None:
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], cache_kv_stacked)
+        )
+        new_cache = {"k": new_k, "v": new_v}
+    else:
+        def body_nocache(x, lp):
+            x, _ = _block(
+                lp, cfg, x, position_ids, attention_mask, None, None, use_flash
+            )
+            return x, None
+        if remat:
+            body_nocache = jax.checkpoint(body_nocache)
+        x, _ = jax.lax.scan(body_nocache, x, params["layers"])
+        new_cache = None
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x, new_cache
+
+
+def logits_fn(params: Params, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndarray:
+    return unembed(params, hidden)
+
+
+def init_cache(
+    cfg: Qwen2Config, batch: int, capacity: int, dtype=jnp.bfloat16
+) -> Dict[str, jnp.ndarray]:
+    shape = (
+        cfg.num_hidden_layers, batch, capacity,
+        cfg.num_key_value_heads, cfg.head_dim,
+    )
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
