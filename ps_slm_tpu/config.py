@@ -121,6 +121,8 @@ class TrainConfig:
     insert_prob: float = 0.0
     smooth_low: float = 0.0
     smooth_high: float = 0.1
+    # blank id used by voca_trans+do_psd in training forward (ps-slm.py:491)
+    voca_trans_blank_id: int = 151643
     # --- freezing ---
     freeze_llm: bool = False
     freeze_encoder: bool = False

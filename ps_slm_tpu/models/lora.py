@@ -1,0 +1,82 @@
+"""LoRA adapters as additive low-rank pytree leaves.
+
+Replaces the reference's ``peft`` usage (``ps-slm.py:114-125``,
+``utils/config_utils.py:41-60``): LoRA with r=64, alpha=16, targets
+q/k/v/o/up/gate/down (``aispeech_asr_config.py:41-50``).  Adapters live
+*inside* the target projection's param dict as ``lora_a``/``lora_b``/
+``lora_scale`` leaves; ``qwen2._linear`` applies ``y += (x@A)@B * scale``
+when present.  Dropout is a no-op here (reference lora_dropout=0.05 applies
+only in torch train mode; TASU recipes train the projector, not LoRA — the
+knob is honored in the train step when enabled).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+_TARGET_MAP = {
+    "q_proj": "q_proj",
+    "k_proj": "k_proj",
+    "v_proj": "v_proj",
+    "o_proj": "o_proj",
+    "up_proj": "up_proj",
+    "gate_proj": "gate_proj",
+    "down_proj": "down_proj",
+}
+
+
+def add_lora(llm_params: Params, peft_cfg, key, dtype=jnp.float32) -> Params:
+    """Attach LoRA leaves to the stacked layer projections.
+
+    A: kaiming-uniform [L, in, r]; B: zeros [L, r, out] (standard LoRA init,
+    matching peft defaults); scale = alpha / r.
+    """
+    r = peft_cfg.r
+    scale = peft_cfg.lora_alpha / r
+    layers = dict(llm_params["layers"])
+    for i, name in enumerate(sorted(set(peft_cfg.target_modules))):
+        target = _TARGET_MAP.get(name)
+        if target is None or target not in layers:
+            continue
+        node = dict(layers[target])
+        kernel = node["kernel"]  # [L, in, out]
+        L, d_in, d_out = kernel.shape
+        bound = math.sqrt(3.0) / math.sqrt(d_in)  # kaiming uniform a=sqrt(5)
+        node["lora_a"] = jax.random.uniform(
+            jax.random.fold_in(key, i), (L, d_in, r), dtype, -bound, bound
+        )
+        node["lora_b"] = jnp.zeros((L, r, d_out), dtype)
+        # per-layer scalar so the leaf scans with the stacked layer axis
+        node["lora_scale"] = jnp.full((L,), scale, dtype)
+        layers[target] = node
+    out = dict(llm_params)
+    out["layers"] = layers
+    return out
+
+
+def merge_lora(llm_params: Params) -> Params:
+    """Fold adapters into the base kernels (for export / fast inference)."""
+    def fold(node):
+        if isinstance(node, dict) and "lora_a" in node:
+            node = dict(node)
+            delta = jnp.einsum(
+                "lir,lro->lio", node["lora_a"].astype(jnp.float32),
+                node["lora_b"].astype(jnp.float32),
+            ) * node["lora_scale"].astype(jnp.float32)[:, None, None]
+            node["kernel"] = (
+                node["kernel"].astype(jnp.float32) + delta
+            ).astype(node["kernel"].dtype)
+            for k in ("lora_a", "lora_b", "lora_scale"):
+                node.pop(k)
+        return node
+
+    layers = {k: fold(v) for k, v in llm_params["layers"].items()}
+    out = dict(llm_params)
+    out["layers"] = layers
+    return out

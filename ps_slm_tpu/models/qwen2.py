@@ -271,6 +271,8 @@ def _linear(x, p):
     y = x @ p["kernel"]
     if "bias" in p:
         y = y + p["bias"]
+    if "lora_a" in p:  # LoRA adapter (ps_slm_tpu.models.lora)
+        y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * p["lora_scale"]
     return y
 
 

@@ -1,0 +1,410 @@
+"""Checkpoint subsystem.
+
+Three responsibilities (reference: ``Multitask/utils/checkpoint_handler.py``
+and the strict=False composite load at ``ps-slm.py:163-170``):
+
+  1. **Native training checkpoints**: Orbax async sharded save/restore of
+     (params, opt_state, step) — the ZeRO/FSDP checkpoint suite equivalent
+     (checkpoint_handler.py:53-182) with resharding on restore.
+  2. **Reference-format interchange**: bidirectional converter to/from the
+     composite ``pytorch_model.bin`` key layout (``encoder.* /
+     encoder_projector.* / llm.*``) so released TASU checkpoints
+     (readme.md:65-66) load, and our checkpoints can be consumed by the
+     reference.  ``strict=False`` semantics: unmatched keys are reported,
+     not fatal.  ``exclude_frozen``: like DeepSpeed's
+     ``exclude_frozen_parameters=True`` (checkpoint_handler.py:176).
+  3. **External asset import**: funasr SenseVoiceSmall ``model.pt`` (+
+     config.yaml dims) and the pretrained CTC head for ``simple_linear``
+     (ps-slm.py:64-85).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+# ----------------------------------------------------------------------------
+# 3. external assets
+# ----------------------------------------------------------------------------
+
+def _torch_load_state(path: str) -> Dict[str, np.ndarray]:
+    """Host-side torch checkpoint read -> numpy dict."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {
+        k: v.detach().to(torch.float32).numpy()
+        for k, v in obj.items()
+        if hasattr(v, "detach")
+    }
+
+
+def _parse_encoder_yaml(path: str) -> dict:
+    """Minimal YAML subset reader for funasr config.yaml encoder_conf."""
+    try:
+        import yaml  # type: ignore
+
+        with open(path) as f:
+            full = yaml.safe_load(f)
+        conf = dict(full.get("encoder_conf", {}))
+        conf["input_size"] = full.get("input_size", conf.get("input_size", 560))
+        conf["vocab_size"] = full.get("vocab_size", 25055)
+        return conf
+    except ImportError:
+        conf: dict = {}
+        section = None
+        with open(path) as f:
+            for line in f:
+                if not line.strip() or line.lstrip().startswith("#"):
+                    continue
+                indent = len(line) - len(line.lstrip())
+                m = re.match(r"([\w_]+):\s*(.*)", line.strip())
+                if not m:
+                    continue
+                key, val = m.groups()
+                if indent == 0:
+                    section = key if val == "" else None
+                    continue
+                if section == "encoder_conf" and val != "":
+                    try:
+                        conf[key] = json.loads(val)
+                    except json.JSONDecodeError:
+                        conf[key] = val
+        return conf
+
+
+def load_funasr_encoder(path: str, dtype=jnp.float32, **overrides):
+    """Load a funasr SenseVoiceSmall dir (model.pt + config.yaml).
+
+    Mirrors ``SenseVoiceSmall.from_pretrained`` (SenseVoice.py:651-655) minus
+    the funasr registry machinery.
+    """
+    from ps_slm_tpu.models import sensevoice as sv
+
+    conf: dict = {}
+    ypath = os.path.join(path, "config.yaml")
+    if os.path.exists(ypath):
+        raw = _parse_encoder_yaml(ypath)
+        for k in (
+            "input_size", "output_size", "attention_heads", "linear_units",
+            "num_blocks", "tp_blocks", "kernel_size", "sanm_shift",
+            "vocab_size",
+        ):
+            if k in raw:
+                conf[k] = int(raw[k])
+    conf.update(overrides)
+    cfg = sv.SenseVoiceConfig(**conf)
+
+    for cand in ("model.pt", "model.pb", "pytorch_model.bin"):
+        mpath = os.path.join(path, cand)
+        if os.path.exists(mpath):
+            tensors = _torch_load_state(mpath)
+            break
+    else:
+        raise FileNotFoundError(f"no model.pt under {path}")
+    params = sv.funasr_tensors_to_params(tensors, cfg, dtype)
+    return params, cfg
+
+
+def load_ctc_linear(path: str, proj_params: Params, dtype=jnp.float32) -> Params:
+    """Pretrained CTC head -> simple_linear projector (ps-slm.py:64-85)."""
+    state = _torch_load_state(path)
+    out = dict(proj_params)
+    out["map"] = {
+        "kernel": jnp.asarray(state["ctc_head.weight"].T, dtype),
+        "bias": jnp.asarray(state["ctc_head.bias"], dtype),
+    }
+    return out
+
+
+# ----------------------------------------------------------------------------
+# 2. reference-format interchange (pytorch_model.bin key layout)
+# ----------------------------------------------------------------------------
+
+_PROJ_KEYMAPS = {
+    # our pytree path -> reference module path (+ transpose flag for kernels)
+    "simple_linear": {
+        ("map", "kernel"): ("map.weight", True),
+        ("map", "bias"): ("map.bias", False),
+    },
+    "linear": {
+        ("linear1", "kernel"): ("linear1.weight", True),
+        ("linear1", "bias"): ("linear1.bias", False),
+        ("linear2", "kernel"): ("linear2.weight", True),
+        ("linear2", "bias"): ("linear2.bias", False),
+    },
+    "cov1d-linear": {
+        # torch Conv1d weight [out,in,k] <-> ours [k,in,out]
+        ("conv", "kernel"): ("conv1d.weight", "conv"),
+        ("conv", "bias"): ("conv1d.bias", False),
+        ("linear1", "kernel"): ("linear1.weight", True),
+        ("linear1", "bias"): ("linear1.bias", False),
+        ("linear2", "kernel"): ("linear2.weight", True),
+        ("linear2", "bias"): ("linear2.bias", False),
+    },
+    "linear-silu": {
+        ("norm", "weight"): ("norm.weight", False),
+        ("norm", "bias"): ("norm.bias", False),
+        ("ffn1", "kernel"): ("ffn.0.weight", True),
+        ("ffn1", "bias"): ("ffn.0.bias", False),
+        ("ffn2", "kernel"): ("ffn.2.weight", True),
+        ("ffn2", "bias"): ("ffn.2.bias", False),
+    },
+    "cross-attention": {
+        ("w_q", "kernel"): ("W_q.weight", True),
+    },
+}
+
+
+def projector_to_reference(
+    proj_params: Params, projector_name: str
+) -> Dict[str, np.ndarray]:
+    keymap = _PROJ_KEYMAPS.get(projector_name)
+    if keymap is None:
+        raise NotImplementedError(
+            f"reference key layout for projector {projector_name!r}"
+        )
+    out = {}
+    for (node, leaf), (refname, transform) in keymap.items():
+        arr = np.asarray(proj_params[node][leaf], np.float32)
+        if transform == "conv":
+            arr = arr.transpose(2, 1, 0)
+        elif transform:
+            arr = arr.T
+        out[f"encoder_projector.{refname}"] = arr
+    return out
+
+
+def reference_to_projector(
+    tensors: Dict[str, np.ndarray], proj_params: Params, projector_name: str,
+    dtype=jnp.float32,
+) -> Tuple[Params, list]:
+    keymap = _PROJ_KEYMAPS.get(projector_name)
+    if keymap is None:
+        raise NotImplementedError(projector_name)
+    loaded = []
+    out = jax.tree_util.tree_map(lambda x: x, proj_params)  # shallow copy tree
+    for (node, leaf), (refname, transform) in keymap.items():
+        key = f"encoder_projector.{refname}"
+        if key not in tensors:
+            continue
+        arr = np.asarray(tensors[key], np.float32)
+        if transform == "conv":
+            arr = arr.transpose(2, 1, 0)
+        elif transform:
+            arr = arr.T
+        out[node] = dict(out[node])
+        out[node][leaf] = jnp.asarray(arr, dtype)
+        loaded.append(key)
+    return out, loaded
+
+
+def export_reference_checkpoint(
+    model, path: str, *, exclude: tuple = ()
+) -> Dict[str, np.ndarray]:
+    """Write a reference-layout ``pytorch_model.bin``.
+
+    Like the rank-0 zero→fp32 consolidation (checkpoint_handler.py:169-182):
+    fp32 tensors, composite key names.  ``exclude`` names whole submodules
+    ("llm" / "encoder" / "projector") to skip — the analogue of DeepSpeed's
+    ``exclude_frozen_parameters=True`` (the reference freezes whole modules,
+    so module granularity is exact).
+    """
+    from ps_slm_tpu.models import qwen2 as q
+
+    tensors: Dict[str, np.ndarray] = {}
+
+    if "llm" not in exclude:
+        from ps_slm_tpu.models.lora import merge_lora
+
+        llm_export = merge_lora(model.params["llm"])
+        for k, v in q.params_to_hf(llm_export, model.llm_cfg).items():
+            tensors[f"llm.{k}"] = v
+
+    if "encoder" not in exclude:
+        tensors.update(
+            _encoder_to_reference(model.params["encoder"], model.enc_cfg)
+        )
+
+    if "projector" not in exclude:
+        tensors.update(
+            projector_to_reference(
+                model.params["projector"], model.model_cfg.encoder_projector
+            )
+        )
+
+    if path:
+        import torch
+
+        torch.save(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in tensors.items()},
+            path,
+        )
+    return tensors
+
+
+def _encoder_to_reference(enc_params: Params, enc_cfg) -> Dict[str, np.ndarray]:
+    """Inverse of sensevoice.funasr_tensors_to_params, nested under
+    'encoder.' (slam_model_asr.encoder is the SenseVoiceSmall module)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put_layer(prefix: str, lp: Params):
+        out[f"{prefix}.norm1.weight"] = np.asarray(lp["norm1"]["weight"], np.float32)
+        out[f"{prefix}.norm1.bias"] = np.asarray(lp["norm1"]["bias"], np.float32)
+        out[f"{prefix}.norm2.weight"] = np.asarray(lp["norm2"]["weight"], np.float32)
+        out[f"{prefix}.norm2.bias"] = np.asarray(lp["norm2"]["bias"], np.float32)
+        out[f"{prefix}.self_attn.linear_q_k_v.weight"] = np.asarray(
+            lp["qkv"]["kernel"], np.float32
+        ).T
+        out[f"{prefix}.self_attn.linear_q_k_v.bias"] = np.asarray(
+            lp["qkv"]["bias"], np.float32
+        )
+        out[f"{prefix}.self_attn.linear_out.weight"] = np.asarray(
+            lp["out"]["kernel"], np.float32
+        ).T
+        out[f"{prefix}.self_attn.linear_out.bias"] = np.asarray(
+            lp["out"]["bias"], np.float32
+        )
+        out[f"{prefix}.self_attn.fsmn_block.weight"] = np.asarray(
+            lp["fsmn"]["kernel"], np.float32
+        ).transpose(2, 1, 0)
+        out[f"{prefix}.feed_forward.w_1.weight"] = np.asarray(
+            lp["w1"]["kernel"], np.float32
+        ).T
+        out[f"{prefix}.feed_forward.w_1.bias"] = np.asarray(
+            lp["w1"]["bias"], np.float32
+        )
+        out[f"{prefix}.feed_forward.w_2.weight"] = np.asarray(
+            lp["w2"]["kernel"], np.float32
+        ).T
+        out[f"{prefix}.feed_forward.w_2.bias"] = np.asarray(
+            lp["w2"]["bias"], np.float32
+        )
+
+    put_layer("encoder.encoder.encoders0.0", enc_params["encoders0"])
+
+    def put_stack(prefix, stacked, n):
+        if stacked is None:
+            return
+        for i in range(n):
+            lp = jax.tree_util.tree_map(lambda a: a[i], stacked)
+            put_layer(f"{prefix}.{i}", lp)
+
+    put_stack("encoder.encoder.encoders", enc_params["encoders"], enc_cfg.num_blocks - 1)
+    put_stack("encoder.encoder.tp_encoders", enc_params["tp_encoders"], enc_cfg.tp_blocks)
+    for name in ("after_norm", "tp_norm"):
+        out[f"encoder.encoder.{name}.weight"] = np.asarray(
+            enc_params[name]["weight"], np.float32
+        )
+        out[f"encoder.encoder.{name}.bias"] = np.asarray(
+            enc_params[name]["bias"], np.float32
+        )
+    out["encoder.ctc.ctc_lo.weight"] = np.asarray(
+        enc_params["ctc_lo"]["kernel"], np.float32
+    ).T
+    out["encoder.ctc.ctc_lo.bias"] = np.asarray(
+        enc_params["ctc_lo"]["bias"], np.float32
+    )
+    out["encoder.embed.weight"] = np.asarray(
+        enc_params["query_embed"], np.float32
+    )
+    return out
+
+
+def import_reference_checkpoint(
+    model, path_or_tensors, dtype=jnp.float32
+) -> list:
+    """Load a composite pytorch_model.bin with strict=False semantics
+    (ps-slm.py:163-170): load every matching key, report the rest.
+
+    Returns the list of loaded reference keys.
+    """
+    from ps_slm_tpu.models import qwen2 as q
+    from ps_slm_tpu.models import sensevoice as sv
+
+    if isinstance(path_or_tensors, str):
+        tensors = _torch_load_state(path_or_tensors)
+    else:
+        tensors = dict(path_or_tensors)
+
+    loaded = []
+
+    # llm.*
+    llm_tensors = {
+        k[len("llm."):]: v for k, v in tensors.items() if k.startswith("llm.")
+    }
+    if llm_tensors:
+        try:
+            new_llm = q.hf_tensors_to_params(llm_tensors, model.llm_cfg, dtype)
+            # preserve LoRA leaves if present
+            old_layers = model.params["llm"]["layers"]
+            for name, node in new_llm["layers"].items():
+                old = old_layers.get(name)
+                if isinstance(old, dict):
+                    for lk in ("lora_a", "lora_b", "lora_scale"):
+                        if lk in old:
+                            node[lk] = old[lk]
+            model.params["llm"] = new_llm
+            loaded += [f"llm.{k}" for k in llm_tensors]
+        except KeyError as e:
+            raise KeyError(f"partial llm checkpoint, missing {e}") from e
+
+    # encoder.*
+    enc_tensors = {
+        k[len("encoder."):]: v
+        for k, v in tensors.items()
+        if k.startswith("encoder.") and not k.startswith("encoder_projector.")
+    }
+    if enc_tensors:
+        model.params["encoder"] = sv.funasr_tensors_to_params(
+            enc_tensors, model.enc_cfg, dtype
+        )
+        loaded += [f"encoder.{k}" for k in enc_tensors]
+
+    # encoder_projector.*
+    new_proj, proj_loaded = reference_to_projector(
+        tensors, model.params["projector"],
+        model.model_cfg.encoder_projector, dtype,
+    )
+    model.params["projector"] = new_proj
+    loaded += proj_loaded
+    return loaded
+
+
+# ----------------------------------------------------------------------------
+# 1. native train-state checkpoints (Orbax)
+# ----------------------------------------------------------------------------
+
+def save_train_state(path: str, state, *, async_save: bool = False):
+    """Orbax save of the full train state pytree."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def restore_train_state(path: str, abstract_state):
+    """Orbax restore with resharding onto abstract_state's shardings."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore(path, abstract_state)
+    ckptr.close()
+    return out

@@ -1,0 +1,174 @@
+"""End-to-end TASU composite model: every §2.B branch + the text-only
+training slice (SURVEY.md §7 step 5 — the ONE-model milestone)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ps_slm_tpu.config import ModelConfig, TrainConfig
+from ps_slm_tpu.models import tasu
+from ps_slm_tpu.models.tasu import TasuModel, forward, model_factory, trainable_mask
+from ps_slm_tpu.training.train_state import (
+    apply_gradients, build_optimizer, create_train_state,
+)
+
+SPEECH = 250
+PAD = 0
+
+ENC_VOCAB = 11   # SenseVoiceConfig.tiny().vocab_size
+ENC_DIM = 16     # SenseVoiceConfig.tiny().output_size
+ENC_INPUT = 24   # SenseVoiceConfig.tiny().input_size
+LLM_VOCAB = 256  # Qwen2Config.tiny().vocab_size
+LLM_DIM = 64     # Qwen2Config.tiny().hidden_size
+
+
+def _mk_model(projector="linear-silu", encoder_dim=ENC_VOCAB, llm_dim=LLM_DIM,
+              ds_rate=1, **train_kw):
+    tc = TrainConfig(**train_kw)
+    mc = ModelConfig(
+        llm_path="", encoder_path=None,
+        encoder_projector=projector,
+        encoder_dim=encoder_dim, llm_dim=llm_dim,
+        encoder_projector_ds_rate=ds_rate,
+    )
+    model = model_factory(tc, mc, rng=jax.random.PRNGKey(0))
+    model.speech_token_id = SPEECH
+    model.pad_token_id = PAD
+    model.use_flash = False
+    return model, tc
+
+
+def _mk_batch(rng, b=2, s=10, a=8, with_audio=True, with_gt=True):
+    ids = rng.integers(1, 200, size=(b, s)).astype(np.int32)
+    ids[:, 3] = SPEECH
+    mask = np.ones((b, s), bool)
+    mask[1, -2:] = False
+    ids[1, -2:] = PAD
+    labels = ids.astype(np.int32).copy()
+    labels[:, :5] = -100           # prompt masked
+    labels[~mask] = -100
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(labels),
+    }
+    if with_audio:
+        batch["input_features"] = jnp.asarray(
+            rng.normal(size=(b, a, ENC_INPUT)).astype(np.float32)
+        )
+        batch["input_feature_length"] = jnp.asarray([a, a - 3])
+    if with_gt:
+        gt = rng.integers(1, ENC_VOCAB, size=(b, 6)).astype(np.int32)
+        batch["gt_ids"] = jnp.asarray(gt)
+        batch["gt_lens"] = jnp.asarray([6, 4])
+    return batch
+
+
+def _check(model, batch):
+    loss, metrics = forward(
+        model, model.params, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss)), float(loss)
+    assert 0.0 <= float(metrics["acc"]) <= 1.0
+    return float(loss)
+
+
+def test_text_only_tasu():
+    model, _ = _mk_model(ctc_posterior=True, gt_emb=True)
+    _check(model, _mk_batch(np.random.default_rng(0), with_audio=False))
+
+
+def test_text_only_tasu_noise():
+    model, _ = _mk_model(ctc_posterior=True, gt_emb=True, gt_emb_noise=True)
+    _check(model, _mk_batch(np.random.default_rng(1), with_audio=False))
+
+
+@pytest.mark.parametrize("do_psd", [False, True])
+def test_audio_tasu(do_psd):
+    model, _ = _mk_model(ctc_posterior=True, do_psd=do_psd)
+    _check(model, _mk_batch(np.random.default_rng(2), with_gt=False))
+
+
+def test_cross_attention():
+    model, _ = _mk_model(
+        projector="cross-attention", ctc_posterior=True, cross_attn=True
+    )
+    _check(model, _mk_batch(np.random.default_rng(3), with_gt=False))
+
+
+@pytest.mark.parametrize("do_psd,top1", [(False, False), (True, False), (True, True)])
+def test_voca_trans(do_psd, top1):
+    model, _ = _mk_model(
+        projector="simple_linear", encoder_dim=ENC_DIM, llm_dim=LLM_VOCAB,
+        ds_rate=2, ctc_posterior=True, voca_trans=True, do_psd=do_psd,
+        top1_emb=top1, voca_trans_blank_id=LLM_VOCAB - 1,
+    )
+    _check(model, _mk_batch(np.random.default_rng(4), with_gt=False))
+
+
+@pytest.mark.parametrize("do_psd", [False, True])
+def test_raw_feature_baseline(do_psd):
+    model, _ = _mk_model(
+        projector="linear", encoder_dim=ENC_DIM, ds_rate=2, do_psd=do_psd
+    )
+    _check(model, _mk_batch(np.random.default_rng(5), with_gt=False))
+
+
+def test_lora_flags():
+    model, tc = _mk_model(
+        ctc_posterior=True, gt_emb=True, use_peft=True, freeze_llm=True,
+        freeze_encoder=True,
+    )
+    # LoRA leaves exist and forward still works
+    assert "lora_a" in model.params["llm"]["layers"]["q_proj"]
+    _check(model, _mk_batch(np.random.default_rng(6), with_audio=False))
+    mask = trainable_mask(model, tc)
+    assert mask["llm"]["layers"]["q_proj"]["lora_a"] is True
+    assert mask["llm"]["layers"]["q_proj"]["kernel"] is False
+    assert all(jax.tree_util.tree_leaves(mask["projector"]))
+
+
+def test_text_only_training_loss_decreases():
+    """The §7.5 milestone: GT text -> pseudo-posterior -> projector -> frozen
+    tiny LLM -> merge -> CE; AdamW on projector only; loss must drop."""
+    model, tc = _mk_model(
+        ctc_posterior=True, gt_emb=True, gt_emb_noise=True,
+        freeze_llm=True, freeze_encoder=True,
+        lr=5e-3, warmup_steps=2, total_steps=50,
+    )
+    batch = _mk_batch(np.random.default_rng(7), with_audio=False)
+    trainable = trainable_mask(model, tc)
+    tx, _ = build_optimizer(tc, trainable)
+    state = create_train_state(model.params, tx)
+
+    @jax.jit
+    def step(state, key):
+        def loss_fn(params):
+            loss, aux = forward(model, params, batch, key)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return apply_gradients(state, grads, tx), loss
+
+    losses = []
+    for i in range(30):
+        state, loss = step(state, jax.random.PRNGKey(100 + i))
+        losses.append(float(loss))
+
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses
+    # frozen modules unchanged
+    np.testing.assert_array_equal(
+        np.asarray(state.params["llm"]["embed_tokens"]),
+        np.asarray(model.params["llm"]["embed_tokens"]),
+    )
+    # projector actually moved
+    assert not np.allclose(
+        np.asarray(state.params["projector"]["ffn1"]["kernel"]),
+        np.asarray(model.params["projector"]["ffn1"]["kernel"]),
+    )
