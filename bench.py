@@ -1,0 +1,143 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Metric: **audio-sec/sec/chip** for the audio-TASU training step at reference
+scale (BASELINE.md north star): SenseVoiceSmall-size encoder (50+20 SANM
+blocks, d=512, CTC vocab 25 055, 560-dim LFR input) + Qwen2.5-1.5B-size LLM,
+frozen encoder+LLM, linear-silu projector training, CTC posterior + PSD
+(the published `half_audio` recipe flags,
+scripts/finetune_deespeed_sensevoice.sh:25-45).
+
+Audio seconds = encoder frames x 60 ms (10 ms hop x LFR n=6, the funasr
+WavFrontend convention; SenseVoice.py:821).
+
+``vs_baseline``: the reference publishes no in-repo numbers (BASELINE.md);
+the ratio is against BASELINE.md's A100-equivalence target rate so >1.0 means
+the >6x-A100 target is met.  A100_EQUIV_RATE is the reference recipe's
+estimated ZeRO-2 throughput on one A100 for this model (~60 s of audio/s:
+micro-batch 1 x dynamic 3000-frame buckets at ~3 it/s), so the target
+6x = 360 audio-sec/sec/chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+A100_EQUIV_TARGET = 6 * 60.0  # audio-sec/sec/chip; see module docstring
+
+# keep bench reproducible & bounded
+BATCH = 4
+FRAMES = 512            # encoder frames per utterance (~30.7 s audio)
+TEXT_LEN = 32
+STEPS = 5
+WARMUP = 2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ps_slm_tpu.config import ModelConfig, TrainConfig
+    from ps_slm_tpu.models.tasu import model_factory, trainable_mask
+    from ps_slm_tpu.parallel import mesh as meshlib
+    from ps_slm_tpu.training.step import make_train_step
+    from ps_slm_tpu.training.train_state import build_optimizer, create_train_state
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    if on_tpu:
+        llm_over = dict(
+            vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+            num_hidden_layers=28, num_attention_heads=12,
+            num_key_value_heads=2, head_dim=128, rope_theta=1e6,
+        )
+        enc_over = dict(
+            input_size=560, output_size=512, attention_heads=4,
+            linear_units=2048, num_blocks=50, tp_blocks=20, kernel_size=11,
+            vocab_size=25055,
+        )
+        batch, frames = BATCH, FRAMES
+    else:  # CPU smoke: tiny stand-in so the harness itself stays testable
+        llm_over = dict(
+            vocab_size=1024, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=32,
+        )
+        enc_over = dict(
+            input_size=80, output_size=64, attention_heads=2,
+            linear_units=128, num_blocks=2, tp_blocks=1, kernel_size=11,
+            vocab_size=256,
+        )
+        batch, frames = 2, 64
+
+    tc = TrainConfig(
+        ctc_posterior=True, do_psd=True, freeze_llm=True, freeze_encoder=True,
+        lr=5e-5, warmup_steps=200, total_steps=15000, remat=True,
+    )
+    mc = ModelConfig(
+        llm_path="", encoder_path=None, encoder_projector="linear-silu",
+        encoder_dim=enc_over["vocab_size"], llm_dim=llm_over["hidden_size"],
+        encoder_projector_ds_rate=1,
+        llm_config_overrides=llm_over, encoder_config_overrides=enc_over,
+    )
+    model = model_factory(tc, mc, rng=jax.random.PRNGKey(0), dtype=dtype)
+    model.speech_token_id = llm_over["vocab_size"] - 2
+
+    mesh = meshlib.build_mesh(None)
+    model.params = meshlib.shard_params(model.params, mesh)
+    trainable = trainable_mask(model, tc)
+    tx, _ = build_optimizer(tc, trainable)
+    state = create_train_state(model.params, tx)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 1000, size=(batch, TEXT_LEN)).astype(np.int32)
+    ids[:, 3] = model.speech_token_id
+    labels = ids.copy()
+    labels[:, :8] = -100
+    feats = rng.normal(size=(batch, frames, enc_over["input_size"])).astype(
+        np.float32
+    )
+    flens = np.full((batch,), frames, np.int32)
+    gbatch = meshlib.shard_batch(
+        {
+            "input_ids": jnp.asarray(ids),
+            "attention_mask": jnp.ones((batch, TEXT_LEN), bool),
+            "labels": jnp.asarray(labels),
+            "input_features": jnp.asarray(feats, dtype),
+            "input_feature_length": jnp.asarray(flens),
+        },
+        mesh,
+    )
+
+    step = make_train_step(model, tx)
+    key = jax.random.PRNGKey(0)
+    for _ in range(WARMUP):
+        state, metrics = step(state, gbatch, key)
+    # NOTE: on the axon relay backend block_until_ready does not actually
+    # block; a device->host transfer is the only true sync, so time with
+    # float() materialization.
+    assert np.isfinite(float(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, gbatch, key)
+    assert np.isfinite(float(metrics["loss"]))
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    audio_sec_per_step = batch * frames * 0.060  # 60 ms per LFR frame
+    rate = audio_sec_per_step * STEPS / dt / n_chips
+
+    print(json.dumps({
+        "metric": "audio_sec_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "audio-sec/s/chip",
+        "vs_baseline": round(rate / A100_EQUIV_TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

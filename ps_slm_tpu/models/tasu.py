@@ -297,6 +297,9 @@ def forward(
     shift_logits = logits[:, :-1]
     shift_labels = labels[:, 1:]
     valid = shift_labels != IGNORE_ID
+    if "batch_valid" in batch:
+        # padded rows from deterministic global batching contribute nothing
+        valid = valid & batch["batch_valid"][:, None]
     safe_labels = jnp.where(valid, shift_labels, 0)
     logp = jax.nn.log_softmax(shift_logits, axis=-1)
     token_ll = jnp.take_along_axis(

@@ -107,7 +107,7 @@ def _fwd_kernel(
         o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
         lse = m_ref[:] + jnp.log(l_safe)
         lse = jnp.where(l == 0.0, NEG_INF, lse)
-        lse_ref[0, 0] = lse[:, 0].astype(jnp.float32)
+        lse_ref[0, 0] = lse.astype(jnp.float32)
 
 
 def _dq_kernel(
@@ -138,8 +138,8 @@ def _dq_kernel(
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0].astype(jnp.float32)[:, None]    # [bq,1]
-        delta = delta_ref[0, 0].astype(jnp.float32)[:, None]
+        lse = lse_ref[0, 0].astype(jnp.float32)             # [bq,1]
+        delta = delta_ref[0, 0].astype(jnp.float32)          # [bq,1]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -200,8 +200,8 @@ def _dkv_kernel(
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0].astype(jnp.float32)[:, None]
-        delta = delta_ref[0, 0].astype(jnp.float32)[:, None]
+        lse = lse_ref[0, 0].astype(jnp.float32)             # [bq,1]
+        delta = delta_ref[0, 0].astype(jnp.float32)          # [bq,1]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -297,7 +297,7 @@ def _flash_fwd_impl(q, k, v, kv_start, kv_end, causal, scale, bq, bk):
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j, *_: (b_, h, i, 0)),
-                pl.BlockSpec((1, 1, bq), lambda b_, h, i, j, *_: (b_, h, i)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b_, h, i, j, *_: (b_, h, i, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bq, d), jnp.float32),
@@ -307,7 +307,7 @@ def _flash_fwd_impl(q, k, v, kv_start, kv_end, causal, scale, bq, bk):
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, s), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32),
         ],
         interpret=_interpret(),
     )(kv_start, kv_end, q, k, v)
@@ -326,8 +326,9 @@ def _flash_bwd(causal, scale, bq, bk, res, dout):
     n_rep = hq // hkv
 
     delta = jnp.sum(
-        dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    )  # [B,Hq,S]
+        dout.astype(jnp.float32) * out.astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )  # [B,Hq,S,1]
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, causal=causal, scale=scale, bq=bq, bk=bk),
@@ -339,8 +340,8 @@ def _flash_bwd(causal, scale, bq, bk, res, dout):
                 pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, *_: (b_, h // n_rep, j, 0)),
                 pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, *_: (b_, h // n_rep, j, 0)),
                 pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j, *_: (b_, h, i, 0)),
-                pl.BlockSpec((1, 1, bq), lambda b_, h, i, j, *_: (b_, h, i)),
-                pl.BlockSpec((1, 1, bq), lambda b_, h, i, j, *_: (b_, h, i)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b_, h, i, j, *_: (b_, h, i, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b_, h, i, j, *_: (b_, h, i, 0)),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, bq, d), lambda b_, h, i, j, *_: (b_, h, i, 0)
@@ -368,12 +369,12 @@ def _flash_bwd(causal, scale, bq, bk, res, dout):
                     lambda b_, hk, j, r, i, *_: (b_, hk * n_rep + r, i, 0),
                 ),
                 pl.BlockSpec(
-                    (1, 1, bq),
-                    lambda b_, hk, j, r, i, *_: (b_, hk * n_rep + r, i),
+                    (1, 1, bq, 1),
+                    lambda b_, hk, j, r, i, *_: (b_, hk * n_rep + r, i, 0),
                 ),
                 pl.BlockSpec(
-                    (1, 1, bq),
-                    lambda b_, hk, j, r, i, *_: (b_, hk * n_rep + r, i),
+                    (1, 1, bq, 1),
+                    lambda b_, hk, j, r, i, *_: (b_, hk * n_rep + r, i, 0),
                 ),
             ],
             out_specs=[

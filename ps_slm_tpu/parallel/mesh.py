@@ -1,0 +1,133 @@
+"""Device mesh + sharding rules — the ZeRO-2/FSDP equivalent.
+
+The reference scales with DeepSpeed ZeRO-2 data parallelism over NCCL
+(``conf/ds_config.json:15-21``, ``deepspeed_utils.py:516-519``).  The
+TPU-native design (SURVEY.md §2.C): one ``jax.sharding.Mesh`` with axes
+
+  data   pure data parallelism (params replicated)
+  fsdp   param/optimizer-state sharding axis — batch is also split here,
+         so (data×fsdp) together form the global batch axis, while large
+         params/optimizer state are sharded over fsdp (ZeRO-3 ⊃ ZeRO-2)
+  tensor optional megatron-style axis for headroom (off by default; the
+         1.5B flagship doesn't need it — SURVEY.md §2.C)
+
+XLA GSPMD inserts all collectives (all-gather of fsdp-sharded params,
+reduce-scatter/all-reduce of grads) from sharding annotations alone — there
+is no user-level NCCL analogue to port.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = Dict[str, Any]
+
+BATCH_AXES = ("data", "fsdp")
+
+
+def build_mesh(
+    mesh_shape: Optional[dict] = None, devices=None
+) -> Mesh:
+    """Build a Mesh. Default: all devices on the data axis.
+
+    mesh_shape e.g. {"data": 2, "fsdp": 4} (product must equal #devices).
+    Axis order fixed (data, fsdp, tensor) so ICI-adjacent devices land on the
+    innermost (fsdp/tensor) axes where collectives are densest.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if not mesh_shape:
+        mesh_shape = {"data": n}
+    shape = {"data": 1, "fsdp": 1, "tensor": 1}
+    shape.update(mesh_shape)
+    total = shape["data"] * shape["fsdp"] * shape["tensor"]
+    if total != n:
+        raise ValueError(f"mesh {shape} needs {total} devices, have {n}")
+    arr = np.asarray(devices).reshape(
+        shape["data"], shape["fsdp"], shape["tensor"]
+    )
+    return Mesh(arr, ("data", "fsdp", "tensor"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Global batch is split over data×fsdp jointly."""
+    return NamedSharding(mesh, P(BATCH_AXES))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _param_spec(path_keys, shape, fsdp_size: int, min_size: int) -> P:
+    """FSDP rule: shard the largest dimension divisible by fsdp_size for
+    leaves with >= min_size elements; replicate the rest.
+
+    For stacked-layer leaves (leading axis = layer) the layer axis is never
+    sharded (scan carries it).
+    """
+    if fsdp_size <= 1 or int(np.prod(shape)) < min_size:
+        return P()
+    stacked = any(str(k) == "layers" for k in path_keys)
+    start = 1 if (stacked and len(shape) > 1) else 0
+    # choose the largest shardable dim
+    best, best_size = None, 0
+    for i in range(start, len(shape)):
+        if shape[i] % fsdp_size == 0 and shape[i] > best_size:
+            best, best_size = i, shape[i]
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = "fsdp"
+    return P(*spec)
+
+
+def param_shardings(
+    params: Params, mesh: Mesh, min_size: int = 2 ** 16
+) -> Params:
+    """Pytree of NamedShardings implementing the FSDP rule."""
+    fsdp_size = mesh.shape["fsdp"]
+
+    def one(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        spec = _param_spec(keys, jnp.shape(leaf), fsdp_size, min_size)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(params: Params, mesh: Mesh, min_size: int = 2 ** 16) -> Params:
+    shardings = param_shardings(params, mesh, min_size)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarray]:
+    """Place a (host-global) batch with the batch axis split over data×fsdp."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def pad_batch_to_multiple(batch: Dict[str, np.ndarray], mult: int):
+    """Pad the leading batch dim to a multiple of the mesh batch size by
+    repeating row 0 with a zeroed loss contribution.
+
+    Deterministic global batching (SURVEY.md §2.C): every host computes the
+    same padded size, so no join barrier (deepspeed_utils.py:102-123) is ever
+    needed.  Padded rows are marked by `batch_valid` (used to zero their loss).
+    """
+    b = next(iter(batch.values())).shape[0]
+    pad = (-b) % mult
+    out = {}
+    for k, v in batch.items():
+        if pad:
+            v = np.concatenate([v, np.repeat(v[:1], pad, axis=0)], axis=0)
+        out[k] = v
+    valid = np.ones((b + pad,), bool)
+    if pad:
+        valid[-pad:] = False
+    out["batch_valid"] = valid
+    return out

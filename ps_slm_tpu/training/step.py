@@ -1,0 +1,49 @@
+"""The jitted training/eval step, mesh-sharded.
+
+Replaces the DeepSpeed engine inner loop (``deepspeed_utils.py:191-246``):
+forward (bf16 compute) → backward → AdamW, all one XLA program under ``jit``
+with GSPMD shardings.  Gradient reduction over the batch axes and
+FSDP all-gathers are inserted by the compiler from the shardings — the
+explicit NCCL all-reduce / reduce-scatter of the reference has no user-level
+analogue here.  Metrics come back as global means (the reference needed an
+explicit ``dist.all_reduce`` for this, deepspeed_utils.py:318-327).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ps_slm_tpu.models import tasu
+from ps_slm_tpu.training.train_state import TrainState, apply_gradients
+
+
+def make_train_step(model: "tasu.TasuModel", tx) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            loss, aux = tasu.forward(model, params, batch, rng)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = apply_gradients(state, grads, tx)
+        metrics = {"loss": loss, "acc": aux["acc"], "ntokens": aux["ntokens"]}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model: "tasu.TasuModel") -> Callable:
+    def eval_step(params, batch):
+        loss, aux = tasu.forward(model, params, batch, jax.random.PRNGKey(0))
+        return {"loss": loss, "acc": aux["acc"], "ntokens": aux["ntokens"]}
+
+    return jax.jit(eval_step)
