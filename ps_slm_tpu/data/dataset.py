@@ -1,0 +1,349 @@
+"""Multitask streaming dataset + deterministic token-budget batching.
+
+Capability parity with ``Multitask/dataset/speech_dataset_large.py``:
+
+  * JSONL manifest schema {key, path, target, task, GT, <task-extras>}
+    streamed from ``<split_dir>/multitask.jsonl`` (``:70-98``)
+  * task prompts from ``conf/multiprompt.jsonl``; random choice per sample;
+    ``prompt_style`` chat template with the ``<speech>`` marker (``:151-160``)
+  * append-info tasks format the extra field into the prompt (``:154-155``)
+  * 0.1 s – 30 s audio filter (``:111``)
+  * train-target regex normalization ``[^A-Za-z\\s.,!?']+`` -> lower (``:164``)
+  * labels = input_ids with the prompt masked to -100 (``:183-186``)
+  * token-budget dynamic batching: close the bucket when
+    ``(len+1) * max_frame > max_frame_length`` (``window_class``, ``:333-338``)
+  * collator: right-pad train / left-pad inference (``:242-245``)
+
+TPU-native differences:
+  * fbank moves on-device — samples carry raw waveforms; the jitted step runs
+    the fused fbank+LFR+CMVN front end (ops/fbank.py), so the host only does
+    IO + tokenization (the reference was dataloader-bound on host fbank)
+  * all padded shapes are bucketed (static XLA shapes, no retrace churn)
+  * **deterministic global batching** replaces the per-step gloo join barrier
+    (``deepspeed_utils.py:102-123``): every host walks the same manifest and
+    computes the same global buckets, then takes its own row slice, padding
+    with loss-masked rows — step counts can never diverge across hosts.
+  * GT text is tokenized here (SenseVoice BPE) into ``gt_ids`` so the
+    text-only pseudo-posterior path is fully on-device (ps-slm.py:337-358
+    did host one-hots every step).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import re
+from dataclasses import dataclass
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ps_slm_tpu.registry import register_dataset
+
+TARGET_NORM_RE = re.compile(r"[^A-Za-z\s.,!?']+")
+GT_NORM_RE = re.compile(r"[^A-Za-z\s.,!?]+")  # generate-path (ps-slm.py:593)
+
+
+def load_multiprompt(path: str) -> Dict[str, List[str]]:
+    """conf/multiprompt.jsonl -> {task: [prompts]} (speech_dataset_large.py:28-34)."""
+    out: Dict[str, List[str]] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            item = json.loads(line)
+            out.setdefault(item["task"], []).append(item["prompt"])
+    return out
+
+
+@dataclass
+class Sample:
+    key: str
+    input_ids: np.ndarray          # prompt (+target+eos at train)
+    labels: Optional[np.ndarray]   # None at inference
+    prompt_len: int
+    waveform: Optional[np.ndarray]
+    est_frames: int                # LFR frame estimate for budgeting
+    gt_ids: np.ndarray
+    target: str
+    gt: str
+    task: str
+
+
+class MultiTaskDataset:
+    """Streaming manifest reader producing :class:`Sample`s."""
+
+    def __init__(
+        self,
+        dataset_config,
+        tokenizer,
+        split: str = "train",
+        encoder_tokenizer=None,
+        *,
+        load_audio: bool = True,
+        seed: int = 42,
+    ):
+        self.cfg = dataset_config
+        self.tokenizer = tokenizer
+        self.encoder_tokenizer = encoder_tokenizer
+        self.split = split
+        self.inference_mode = split == "test" or dataset_config.inference_mode
+        self.load_audio = load_audio
+        self.seed = seed
+        self.prompts = load_multiprompt(dataset_config.multitask_prompt_path)
+
+        if split == "train":
+            self.data_path = dataset_config.train_scp_file_path
+        elif split in ("val", "dev"):
+            self.data_path = dataset_config.dev_scp_file_path
+        elif split == "test":
+            self.data_path = dataset_config.test_scp_file_path
+        else:
+            raise ValueError("split must be train/val/test")
+        self.manifest = os.path.join(self.data_path, "multitask.jsonl")
+        self.sample_rate = 16000
+        self.max_samples = dataset_config.max_audio_length * self.sample_rate
+        self.min_samples = int(0.1 * self.sample_rate)
+
+    def __len__(self) -> int:
+        with open(self.manifest, "rb") as f:
+            return sum(1 for _ in f)
+
+    def _est_frames(self, num_samples: int) -> int:
+        """LFR frames from raw samples (400/160 framing, /6 stacking)."""
+        fbank_frames = max(1 + (num_samples - 400) // 160, 0)
+        return -(-fbank_frames // 6)
+
+    def __iter__(self) -> Iterator[Sample]:
+        rng = random.Random(self.seed)
+        with open(self.manifest) as f:
+            for index, line in enumerate(f):
+                line = line.strip()
+                if not line:
+                    continue
+                item = json.loads(line)
+                sample = self._build(item, rng, index)
+                if sample is not None:
+                    yield sample
+
+    def _build(self, item: dict, rng, index: int) -> Optional[Sample]:
+        key = item["key"]
+        path = item["path"]
+        target = item.get("target", "")
+        task = item.get("task", "ASR")
+
+        raw_gt = item.get("GT", "")
+        try:
+            gt = raw_gt.encode("utf-8").decode("unicode_escape")
+        except Exception:
+            gt = raw_gt
+
+        waveform = None
+        est_frames = 0
+        if self.load_audio:
+            from ps_slm_tpu.data import audio_io
+
+            waveform = audio_io.load_audio(path, self.sample_rate)
+            n = len(waveform)
+            if n > self.max_samples or n < self.min_samples:
+                return None  # 0.1-30 s filter (speech_dataset_large.py:111)
+            est_frames = self._est_frames(n)
+
+        prompt = rng.choice(self.prompts[task])
+        prompt = self.cfg.prompt_style.format(prompt)
+        if task in self.cfg.append_info_tasks:
+            prompt = prompt.format(item[task])
+        prompt_ids = self.tokenizer.encode(prompt)
+
+        if not self.inference_mode:
+            norm_target = TARGET_NORM_RE.sub("", target).lower().strip()
+            target_ids = self.tokenizer.encode(norm_target)
+            target_ids = target_ids + [self.tokenizer.eos_token_id]
+            input_ids = np.asarray(prompt_ids + target_ids, np.int32)
+            labels = input_ids.copy()
+            labels[: len(prompt_ids)] = self.tokenizer.default_ignore_token
+        else:
+            input_ids = np.asarray(prompt_ids, np.int32)
+            labels = None
+
+        if self.encoder_tokenizer is not None:
+            gt_text = gt
+            if self.inference_mode:
+                gt_text = GT_NORM_RE.sub("", gt).lower().strip()
+            gt_ids = np.asarray(
+                self.encoder_tokenizer.encode(gt_text), np.int32
+            )
+        else:
+            gt_ids = np.zeros((0,), np.int32)
+
+        return Sample(
+            key=key, input_ids=input_ids, labels=labels,
+            prompt_len=len(prompt_ids), waveform=waveform,
+            est_frames=est_frames, gt_ids=gt_ids, target=target, gt=gt,
+            task=task,
+        )
+
+
+# ----------------------------------------------------------------------------
+# token-budget bucketing (window_class semantics) + collation
+# ----------------------------------------------------------------------------
+
+def _frame_cost(s: Sample, ds_rate: int) -> int:
+    return len(s.input_ids) + (s.est_frames // ds_rate) - 1
+
+
+def dynamic_batches(
+    samples: Iterator[Sample], max_frame_length: int, ds_rate: int
+) -> Iterator[List[Sample]]:
+    """Reference window_class (speech_dataset_large.py:333-338): close the
+    bucket when (n+1) * max_cost would exceed the budget."""
+    buf: List[Sample] = []
+    cur_max = 0
+    for s in samples:
+        cost = _frame_cost(s, ds_rate)
+        new_max = max(cur_max, cost)
+        if buf and (len(buf) + 1) * new_max > max_frame_length:
+            yield buf
+            buf, cur_max = [s], cost
+        else:
+            buf.append(s)
+            cur_max = new_max
+    if buf:
+        yield buf
+
+
+def _bucket(n: int, mult: int) -> int:
+    return max(((n + mult - 1) // mult) * mult, mult)
+
+
+def _pad_to(arr: np.ndarray, length: int, value, left: bool = False):
+    pad = length - len(arr)
+    if pad <= 0:
+        return arr[:length]
+    widths = [(pad, 0)] if left else [(0, pad)]
+    widths += [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, widths, constant_values=value)
+
+
+class Collator:
+    """Sample list -> padded numpy batch (right-pad train / left-pad infer,
+    speech_dataset_large.py:242-245), all dims bucketed for static shapes."""
+
+    def __init__(self, tokenizer, cfg, inference_mode: bool = False):
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.inference_mode = inference_mode
+
+    def __call__(self, samples: List[Sample]) -> Dict[str, np.ndarray]:
+        left = self.inference_mode
+        pad_id = self.tokenizer.pad_token_id
+        ignore = self.tokenizer.default_ignore_token
+        tb = self.cfg.token_bucket
+
+        s_len = _bucket(max(len(s.input_ids) for s in samples), tb)
+        input_ids = np.stack([
+            _pad_to(s.input_ids, s_len, pad_id, left) for s in samples
+        ])
+        attn = np.stack([
+            _pad_to(np.ones(len(s.input_ids), bool), s_len, False, left)
+            for s in samples
+        ])
+        batch: Dict[str, Any] = {
+            "input_ids": input_ids,
+            "attention_mask": attn,
+        }
+        if not self.inference_mode:
+            batch["labels"] = np.stack([
+                _pad_to(s.labels, s_len, ignore, left) for s in samples
+            ])
+
+        if samples[0].waveform is not None:
+            # waveform bucket = feature_bucket LFR frames worth of samples
+            wav_bucket = self.cfg.feature_bucket * 6 * 160
+            n_len = _bucket(max(len(s.waveform) for s in samples), wav_bucket)
+            batch["waveform"] = np.stack([
+                _pad_to(s.waveform.astype(np.float32), n_len, 0.0)
+                for s in samples
+            ])
+            batch["waveform_length"] = np.asarray(
+                [len(s.waveform) for s in samples], np.int32
+            )
+
+        if any(len(s.gt_ids) for s in samples):
+            g_len = _bucket(max(len(s.gt_ids) for s in samples), tb)
+            batch["gt_ids"] = np.stack([
+                _pad_to(s.gt_ids, g_len, 0) for s in samples
+            ])
+            batch["gt_lens"] = np.asarray(
+                [len(s.gt_ids) for s in samples], np.int32
+            )
+
+        batch["keys"] = [s.key for s in samples]
+        batch["targets"] = [s.target for s in samples]
+        batch["GT"] = [s.gt for s in samples]
+        return batch
+
+
+class GlobalBatcher:
+    """Deterministic global batching across hosts.
+
+    Every host walks the identical manifest order and computes identical
+    global buckets; host h keeps rows [h::num_hosts] of each bucket, padded
+    to equal per-host size with loss-masked repeats (``batch_valid``).
+    All hosts therefore see the same number of steps — the reference's
+    uneven-shard join barrier (deepspeed_utils.py:102-123) is unnecessary
+    by construction.
+    """
+
+    def __init__(
+        self, dataset: MultiTaskDataset, collator: Collator,
+        max_frame_length: int, ds_rate: int,
+        num_hosts: int = 1, host_id: int = 0,
+        batch_multiple: int = 1,
+    ):
+        self.dataset = dataset
+        self.collator = collator
+        self.max_frame_length = max_frame_length
+        self.ds_rate = ds_rate
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.batch_multiple = batch_multiple
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for bucket in dynamic_batches(
+            iter(self.dataset), self.max_frame_length, self.ds_rate
+        ):
+            mine = bucket[self.host_id:: self.num_hosts]
+            per_host = -(-len(bucket) // self.num_hosts)
+            per_host = -(-per_host // self.batch_multiple) * self.batch_multiple
+            valid = np.zeros((per_host,), bool)
+            valid[: len(mine)] = True
+            while len(mine) < per_host:
+                mine = mine + [bucket[0]]
+            out = self.collator(mine)
+            out["batch_valid"] = valid
+            yield out
+
+
+@register_dataset("multitask")
+def get_speech_dataset(
+    dataset_config, tokenizer, split: str, encoder_tokenizer=None,
+    num_hosts: int = 1, host_id: int = 0, load_audio: bool = True,
+):
+    """Reference ``get_speech_dataset`` (speech_dataset_large.py:340-346)."""
+    ds = MultiTaskDataset(
+        dataset_config, tokenizer, split,
+        encoder_tokenizer=encoder_tokenizer, load_audio=load_audio,
+    )
+    inference = split == "test" or dataset_config.inference_mode
+    coll = Collator(tokenizer, dataset_config, inference)
+    budget = (
+        dataset_config.train_max_frame_length
+        if split == "train" else dataset_config.eval_max_frame_length
+    )
+    return GlobalBatcher(
+        ds, coll, budget, dataset_config.ds_rate,
+        num_hosts=num_hosts, host_id=host_id,
+    )

@@ -1,0 +1,97 @@
+"""LLM-side tokenizer wrappers.
+
+The reference uses HF ``AutoTokenizer`` with an added ``<speech>`` special
+token and pad=eos (``ps-slm.py:25-28,132-140``).  ``HFTokenizer`` reproduces
+that; ``StubTokenizer`` is a dependency-free whitespace tokenizer with the
+same interface for tests and smoke runs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+DEFAULT_SPEECH_TOKEN = "<speech>"
+DEFAULT_IGNORE_TOKEN = -100
+
+
+class HFTokenizer:
+    """transformers-backed tokenizer with the <speech> special token."""
+
+    def __init__(self, path: str):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(path)
+        self.tok.add_special_tokens(
+            {"additional_special_tokens": [DEFAULT_SPEECH_TOKEN]}
+        )
+        if self.tok.pad_token_id is None:
+            self.tok.pad_token = self.tok.eos_token
+        self.speech_token_id = self.tok.convert_tokens_to_ids(
+            DEFAULT_SPEECH_TOKEN
+        )
+        self.eos_token_id = self.tok.eos_token_id
+        self.pad_token_id = self.tok.eos_token_id  # reference: pad = eos
+        self.bos_token_id = self.tok.bos_token_id
+        self.default_ignore_token = DEFAULT_IGNORE_TOKEN
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.tok)
+
+    def encode(self, text: str) -> List[int]:
+        return self.tok.encode(text, add_special_tokens=False)
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        return self.tok.decode(
+            ids, skip_special_tokens=skip_special_tokens,
+            clean_up_tokenization_spaces=True,
+        )
+
+    def batch_decode(self, idss, skip_special_tokens: bool = True):
+        return [self.decode(ids, skip_special_tokens) for ids in idss]
+
+
+class StubTokenizer:
+    """Whitespace tokenizer over a fixed-size hashed vocab (tests only)."""
+
+    def __init__(self, vocab_size: int = 256):
+        self._vocab = vocab_size
+        self.eos_token_id = vocab_size - 1
+        self.pad_token_id = vocab_size - 1
+        self.bos_token_id = None
+        self.speech_token_id = vocab_size - 2
+        self.default_ignore_token = DEFAULT_IGNORE_TOKEN
+        self._decode_memory = {}
+
+    @property
+    def vocab_size(self) -> int:
+        return self._vocab
+
+    def encode(self, text: str) -> List[int]:
+        out = []
+        for word in text.replace(DEFAULT_SPEECH_TOKEN, " \x00 ").split():
+            if word == "\x00":
+                out.append(self.speech_token_id)
+            else:
+                i = (hash(word) % (self._vocab - 3)) + 1
+                self._decode_memory[i] = word
+                out.append(i)
+        return out
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        words = []
+        for i in ids:
+            i = int(i)
+            if i in (self.pad_token_id, self.speech_token_id) or i < 0:
+                continue
+            words.append(self._decode_memory.get(i, f"<{i}>"))
+        return " ".join(words)
+
+    def batch_decode(self, idss, skip_special_tokens: bool = True):
+        return [self.decode(ids) for ids in idss]
+
+
+def load_tokenizer(path: Optional[str], vocab_size: int = 256):
+    if path:
+        return HFTokenizer(path)
+    return StubTokenizer(vocab_size)

@@ -100,6 +100,8 @@ class TasuModel:
     pad_token_id: int = 0
     use_flash: Optional[bool] = None
     remat: bool = False
+    cmvn: Optional[tuple] = None     # (neg_mean, inv_std) for on-device CMVN
+    fbank_cfg: Any = None            # FbankConfig for the on-device front end
 
 
 # ----------------------------------------------------------------------------
@@ -160,9 +162,26 @@ def compute_audio_embeds(
     k = proj.downsample_rate(mc)
 
     if f.needs_encoder:
+        if "input_features" in batch:
+            feats = batch["input_features"]
+            flens = batch["input_feature_length"]
+        else:
+            # on-device fused front end (raw waveform in the batch): the
+            # reference computed fbank per-sample on host workers
+            # (speech_dataset_large.py:134-146)
+            from ps_slm_tpu.ops import fbank as fb
+
+            dither_key = None if rng is None else jax.random.fold_in(rng, 1)
+            feats, flens = fb.frontend(
+                batch["waveform"], batch["waveform_length"],
+                dither_key, cfg=model.fbank_cfg, cmvn=model.cmvn,
+                train=not generate_mode,
+            )
+            feats = feats.astype(
+                params["llm"]["embed_tokens"].dtype
+            )
         encoder_out, posterior, enc_lens = encode_speech(
-            params, model.enc_cfg,
-            batch["input_features"], batch["input_feature_length"],
+            params, model.enc_cfg, feats, flens,
             use_flash=model.use_flash, remat=model.remat,
         )
 

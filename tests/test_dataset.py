@@ -1,0 +1,158 @@
+"""Data pipeline: manifest streaming, prompts, batching, collation, and a
+full audio-TASU forward from raw waveforms (on-device front end)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ps_slm_tpu.config import DataConfig, ModelConfig, TrainConfig
+from ps_slm_tpu.data import audio_io
+from ps_slm_tpu.data.dataset import (
+    Collator, GlobalBatcher, MultiTaskDataset, dynamic_batches,
+    get_speech_dataset, load_multiprompt,
+)
+from ps_slm_tpu.data.tokenizer import StubTokenizer
+
+
+def _fixtures(tmp_path, n=6, rate=16000):
+    """Tiny wav ark + manifest + multiprompt."""
+    rng = np.random.default_rng(0)
+    entries = {}
+    for i in range(n):
+        dur = rng.integers(rate // 2, rate * 2)
+        entries[f"utt{i}"] = (rate, rng.normal(size=dur).astype(np.float32) * 0.1)
+    ark = tmp_path / "wav.ark"
+    offsets = audio_io.write_kaldi_wav_ark(str(ark), entries)
+
+    split_dir = tmp_path / "train"
+    split_dir.mkdir()
+    rows = []
+    for i in range(n):
+        rows.append({
+            "key": f"utt{i}",
+            "path": f"{ark}:{offsets[f'utt{i}']}",
+            "target": f"hello world sample {i}",
+            "GT": f"hello world sample {i}",
+            "task": "ASR",
+        })
+    with open(split_dir / "multitask.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    prompt_file = tmp_path / "multiprompt.jsonl"
+    with open(prompt_file, "w") as f:
+        f.write(json.dumps({"task": "ASR", "prompt": "transcribe:"}) + "\n")
+        f.write(json.dumps({"task": "hotword", "prompt": "with hotword {}:"}) + "\n")
+
+    cfg = DataConfig(
+        multitask_prompt_path=str(prompt_file),
+        train_scp_file_path=str(split_dir),
+        train_max_frame_length=200,
+        ds_rate=1,
+        feature_bucket=16,
+        token_bucket=8,
+    )
+    return cfg
+
+
+def test_manifest_streaming_and_labels(tmp_path):
+    cfg = _fixtures(tmp_path)
+    tok = StubTokenizer()
+    ds = MultiTaskDataset(cfg, tok, "train")
+    samples = list(ds)
+    assert len(samples) == 6
+    s = samples[0]
+    assert s.input_ids[-1] == tok.eos_token_id
+    assert (s.labels[: s.prompt_len] == -100).all()
+    assert (s.labels[s.prompt_len:] == s.input_ids[s.prompt_len:]).all()
+    assert tok.speech_token_id in s.input_ids[: s.prompt_len]
+    assert s.est_frames > 0 and s.waveform is not None
+
+
+def test_audio_length_filter(tmp_path):
+    cfg = _fixtures(tmp_path)
+    # append a too-short row
+    short = tmp_path / "short.wav"
+    audio_io.write_wav(str(short), 16000, np.zeros(100, np.float32))
+    with open(os.path.join(cfg.train_scp_file_path, "multitask.jsonl"), "a") as f:
+        f.write(json.dumps({
+            "key": "tiny", "path": str(short), "target": "x", "GT": "x",
+            "task": "ASR",
+        }) + "\n")
+    ds = MultiTaskDataset(cfg, StubTokenizer(), "train")
+    keys = [s.key for s in ds]
+    assert "tiny" not in keys
+
+
+def test_dynamic_batching_budget(tmp_path):
+    cfg = _fixtures(tmp_path)
+    ds = MultiTaskDataset(cfg, StubTokenizer(), "train")
+    samples = list(ds)
+    batches = list(dynamic_batches(iter(samples), 200, 1))
+    assert sum(len(b) for b in batches) == len(samples)
+    for b in batches:
+        mx = max(len(s.input_ids) + s.est_frames - 1 for s in b)
+        assert len(b) * mx <= 200 or len(b) == 1
+
+
+def test_collator_bucketing(tmp_path):
+    cfg = _fixtures(tmp_path)
+    tok = StubTokenizer()
+    ds = MultiTaskDataset(cfg, tok, "train")
+    samples = list(ds)[:3]
+    batch = Collator(tok, cfg)(samples)
+    assert batch["input_ids"].shape[1] % cfg.token_bucket == 0
+    assert batch["waveform"].shape[1] % (cfg.feature_bucket * 960) == 0
+    # right padding in train mode
+    row_len = len(samples[0].input_ids)
+    assert batch["attention_mask"][0, :row_len].all()
+
+
+def test_global_batcher_determinism(tmp_path):
+    cfg = _fixtures(tmp_path)
+    tok = StubTokenizer()
+
+    def batches(host_id, num_hosts):
+        gb = get_speech_dataset(
+            cfg, tok, "train", num_hosts=num_hosts, host_id=host_id
+        )
+        return list(gb)
+
+    all0 = batches(0, 2)
+    all1 = batches(1, 2)
+    # same number of steps on every host — no join barrier needed
+    assert len(all0) == len(all1)
+    for b0, b1 in zip(all0, all1):
+        assert b0["input_ids"].shape[0] == b1["input_ids"].shape[0]
+
+
+def test_waveform_forward_end_to_end(tmp_path):
+    """Raw waveforms through the on-device front end into audio TASU."""
+    from ps_slm_tpu.models.tasu import forward, model_factory
+
+    cfg = _fixtures(tmp_path)
+    tok = StubTokenizer()
+    gb = get_speech_dataset(cfg, tok, "train")
+    batch_np = next(iter(gb))
+
+    tc = TrainConfig(ctc_posterior=True, do_psd=True)
+    mc = ModelConfig(
+        llm_path="", encoder_path=None, encoder_projector="linear-silu",
+        encoder_dim=11, llm_dim=64, encoder_projector_ds_rate=1,
+        encoder_config_overrides={"input_size": 560},
+    )
+    model = model_factory(tc, mc, rng=jax.random.PRNGKey(0))
+    model.speech_token_id = tok.speech_token_id
+    model.pad_token_id = tok.pad_token_id
+    model.use_flash = False
+
+    jbatch = {
+        k: jnp.asarray(v) for k, v in batch_np.items()
+        if k not in ("keys", "targets", "GT")
+    }
+    loss, metrics = forward(model, model.params, jbatch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
