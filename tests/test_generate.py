@@ -1,0 +1,179 @@
+"""Decoding tests: greedy-with-cache == full-forward argmax; beam search
+sanity; EOS termination; left-padded batches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ps_slm_tpu.inference.generate import beam_generate, greedy_generate
+from ps_slm_tpu.models import qwen2
+
+EOS = 9
+
+
+def _model(vocab=32, hidden=32):
+    cfg = qwen2.Qwen2Config.tiny(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8,
+    )
+    params = qwen2.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _naive_greedy(params, cfg, embeds, mask, pos, max_new, eos):
+    """Reference decode: full forward re-run each step, no cache."""
+    b = embeds.shape[0]
+    cur_emb = embeds
+    cur_mask = mask
+    cur_pos = pos
+    outs = []
+    done = np.zeros(b, bool)
+    for t in range(max_new):
+        hidden, _ = qwen2.forward(
+            params, cfg, cur_emb, attention_mask=cur_mask,
+            position_ids=cur_pos, use_flash=False,
+        )
+        logits = np.asarray(qwen2.unembed(params, hidden))[:, -1]
+        nxt = logits.argmax(-1).astype(np.int32)
+        nxt = np.where(done, eos, nxt)
+        outs.append(nxt)
+        done |= nxt == eos
+        if done.all():
+            break
+        tok_emb = qwen2.embed(params, jnp.asarray(nxt)[:, None])
+        cur_emb = jnp.concatenate([cur_emb, tok_emb], axis=1)
+        cur_mask = jnp.concatenate(
+            [cur_mask, jnp.ones((b, 1), bool)], axis=1
+        )
+        cur_pos = jnp.concatenate(
+            [cur_pos, (cur_pos[:, -1:] + 1)], axis=1
+        )
+    out = np.stack(outs, 1)
+    pad = np.full((b, max_new - out.shape[1]), eos, np.int32)
+    return np.concatenate([out, pad], axis=1)
+
+
+def _inputs(cfg, params, b=2, s=7, left_pad=(0, 3)):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=(b, s))
+    mask = np.ones((b, s), bool)
+    for r, p in enumerate(left_pad):
+        mask[r, :p] = False
+    emb = qwen2.embed(params, jnp.asarray(ids))
+    pos = jnp.clip(jnp.cumsum(jnp.asarray(mask), axis=-1) - 1, 0, None)
+    return emb, jnp.asarray(mask), pos
+
+
+def test_greedy_matches_naive():
+    cfg, params = _model()
+    emb, mask, pos = _inputs(cfg, params)
+    max_new = 8
+    want = _naive_greedy(params, cfg, emb, mask, pos, max_new, EOS)
+    got = greedy_generate(
+        params, cfg, emb, mask, pos,
+        max_new_tokens=max_new, eos_token_id=EOS,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_beam1_matches_greedy():
+    cfg, params = _model()
+    emb, mask, pos = _inputs(cfg, params)
+    g = greedy_generate(
+        params, cfg, emb, mask, pos, max_new_tokens=6, eos_token_id=EOS,
+    )
+    b1 = beam_generate(
+        params, cfg, emb, mask, pos, max_new_tokens=6, eos_token_id=EOS,
+        num_beams=1,
+    )
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(b1))
+
+
+def test_beam_score_not_worse_than_greedy():
+    """Beam-4 joint logprob >= greedy joint logprob (same termination)."""
+    cfg, params = _model(vocab=24)
+    emb, mask, pos = _inputs(cfg, params, b=3, left_pad=(0, 1, 2))
+    max_new = 6
+
+    def joint_logprob(seq):
+        # score a generated sequence by teacher forcing (full forward)
+        b = emb.shape[0]
+        cur_emb, cur_mask, cur_pos = emb, mask, pos
+        total = np.zeros(b)
+        alive = np.ones(b, bool)
+        for t in range(seq.shape[1]):
+            hidden, _ = qwen2.forward(
+                params, cfg, cur_emb, attention_mask=cur_mask,
+                position_ids=cur_pos, use_flash=False,
+            )
+            logp = jax.nn.log_softmax(
+                qwen2.unembed(params, hidden)[:, -1].astype(jnp.float32)
+            )
+            tok = seq[:, t]
+            total += np.where(
+                alive, np.asarray(logp)[np.arange(b), tok], 0.0
+            )
+            alive &= tok != EOS
+            tok_emb = qwen2.embed(params, jnp.asarray(tok)[:, None])
+            cur_emb = jnp.concatenate([cur_emb, tok_emb], 1)
+            cur_mask = jnp.concatenate(
+                [cur_mask, jnp.ones((b, 1), bool)], 1
+            )
+            cur_pos = jnp.concatenate([cur_pos, cur_pos[:, -1:] + 1], 1)
+        return total
+
+    def hyp_len(seq):
+        # generated length incl. the first EOS (HF length-penalty length)
+        lens = np.full(seq.shape[0], seq.shape[1], np.float64)
+        for r in range(seq.shape[0]):
+            hits = np.flatnonzero(seq[r] == EOS)
+            if len(hits):
+                lens[r] = hits[0] + 1
+        return lens
+
+    g = np.asarray(greedy_generate(
+        params, cfg, emb, mask, pos, max_new_tokens=max_new, eos_token_id=EOS,
+    ))
+    bm = np.asarray(beam_generate(
+        params, cfg, emb, mask, pos, max_new_tokens=max_new, eos_token_id=EOS,
+        num_beams=4,
+    ))
+    # beam optimizes the length-penalized score logprob / len**1.0
+    sg = joint_logprob(g) / hyp_len(g)
+    sb = joint_logprob(bm) / hyp_len(bm)
+    assert (sb >= sg - 1e-4).all(), (sg, sb)
+
+
+def test_eos_termination_fill():
+    cfg = qwen2.Qwen2Config.tiny(
+        vocab_size=32, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, tie_word_embeddings=False,
+    )
+    params = qwen2.init_params(jax.random.PRNGKey(0), cfg)
+    # bias the model to emit EOS immediately: huge unembed column
+    params = dict(params)
+    params["lm_head"] = params["lm_head"].at[:, EOS].set(50.0)
+    emb, mask, pos = _inputs(cfg, params)
+    out = np.asarray(greedy_generate(
+        params, cfg, emb, mask, pos, max_new_tokens=5, eos_token_id=EOS,
+    ))
+    np.testing.assert_array_equal(out, np.full_like(out, EOS))
+
+
+def test_sampling_reproducible():
+    cfg, params = _model()
+    emb, mask, pos = _inputs(cfg, params)
+    a = greedy_generate(
+        params, cfg, emb, mask, pos, jax.random.PRNGKey(5),
+        max_new_tokens=6, eos_token_id=EOS, do_sample=True, top_p=0.9,
+        temperature=0.8,
+    )
+    b = greedy_generate(
+        params, cfg, emb, mask, pos, jax.random.PRNGKey(5),
+        max_new_tokens=6, eos_token_id=EOS, do_sample=True, top_p=0.9,
+        temperature=0.8,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
