@@ -147,20 +147,20 @@ def test_beam_score_not_worse_than_greedy():
 
 
 def test_eos_termination_fill():
-    cfg = qwen2.Qwen2Config.tiny(
-        vocab_size=32, hidden_size=32, intermediate_size=64,
-        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
-        head_dim=8, tie_word_embeddings=False,
-    )
-    params = qwen2.init_params(jax.random.PRNGKey(0), cfg)
-    # bias the model to emit EOS immediately: huge unembed column
-    params = dict(params)
-    params["lm_head"] = params["lm_head"].at[:, EOS].set(50.0)
-    emb, mask, pos = _inputs(cfg, params)
+    """After a row's first EOS everything is EOS-filled (HF pad semantics)."""
+    cfg, params = _model(vocab=12)  # small vocab: EOS appears quickly
+    emb, mask, pos = _inputs(cfg, params, b=4, s=5, left_pad=(0, 1, 2, 3))
     out = np.asarray(greedy_generate(
-        params, cfg, emb, mask, pos, max_new_tokens=5, eos_token_id=EOS,
+        params, cfg, emb, mask, pos, max_new_tokens=24, eos_token_id=EOS,
+        do_sample=True, temperature=2.0,
     ))
-    np.testing.assert_array_equal(out, np.full_like(out, EOS))
+    hit_any = False
+    for row in out:
+        hits = np.flatnonzero(row == EOS)
+        if len(hits):
+            hit_any = True
+            assert (row[hits[0]:] == EOS).all()
+    assert hit_any, out
 
 
 def test_sampling_reproducible():
