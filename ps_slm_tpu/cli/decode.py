@@ -1,0 +1,121 @@
+"""Batch decode entry point.
+
+Replaces ``Multitask/inference_batch.py`` (:61-151) and the decode half of
+``scripts/decode_sensevoice.sh:60-97``: stream the test manifest with LEFT
+padding, run beam (default 4) / greedy decode, write ``key\\ttext`` pred and
+gt files.  Score afterwards with:
+
+    python -m ps_slm_tpu.tools.clean_marks <decode_log>_pred
+    python -m ps_slm_tpu.tools.wer --char=1 -v=1 <gt> <pred>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    from ps_slm_tpu.config import RunConfig, parse_cli
+    from ps_slm_tpu.data.spm import SenseVoiceTokenizer
+    from ps_slm_tpu.data.tokenizer import load_tokenizer
+    from ps_slm_tpu.inference.generate import generate
+    from ps_slm_tpu.registry import get_dataset_factory, get_model_factory
+    from ps_slm_tpu.training import checkpoint as ckpt
+    from ps_slm_tpu.utils.logging import setup_logger
+    from ps_slm_tpu.utils.profiler import StepTimer
+
+    cfg = parse_cli(argv if argv is not None else sys.argv[1:], RunConfig())
+    tc, mc, dc = cfg.train_config, cfg.model_config, cfg.dataset_config
+    dc.inference_mode = True
+    logger = setup_logger("decode", cfg.log_config.log_file)
+
+    dtype = jnp.bfloat16 if tc.mixed_precision else jnp.float32
+    tokenizer = load_tokenizer(mc.llm_path or None)
+    encoder_tokenizer = None
+    if mc.encoder_path:
+        try:
+            encoder_tokenizer = SenseVoiceTokenizer(mc.encoder_path)
+        except (FileNotFoundError, OSError):
+            pass
+
+    model = get_model_factory(mc.factory)(
+        tc, mc, rng=jax.random.PRNGKey(tc.seed), dtype=dtype
+    )
+    model.speech_token_id = tokenizer.speech_token_id
+    model.pad_token_id = tokenizer.pad_token_id
+    model.fbank_cfg = dc.fbank
+    if mc.encoder_path:
+        cmvn_path = os.path.join(mc.encoder_path, "am.mvn")
+        if os.path.exists(cmvn_path):
+            from ps_slm_tpu.ops.fbank import load_cmvn
+
+            model.cmvn = load_cmvn(cmvn_path)
+
+    if cfg.ckpt_path:
+        loaded = ckpt.import_reference_checkpoint(model, cfg.ckpt_path, dtype)
+        logger.info(f"loaded {len(loaded)} tensors from {cfg.ckpt_path}")
+
+    batches = get_dataset_factory(dc.factory)(
+        dc, tokenizer, "test", encoder_tokenizer=encoder_tokenizer,
+    )
+
+    decode_log = cfg.decode_log or "decode"
+    os.makedirs(os.path.dirname(decode_log) or ".", exist_ok=True)
+    pred_path = decode_log + "_pred"
+    gt_path = decode_log + "_gt"
+    timer = StepTimer()
+    audio_secs = 0.0
+    n_tokens = 0
+
+    with open(pred_path, "w") as fpred, open(gt_path, "w") as fgt:
+        for batch in batches:
+            jbatch = {
+                k: jnp.asarray(v) for k, v in batch.items()
+                if isinstance(v, np.ndarray)
+            }
+            timer.start()
+            out = generate(
+                model, model.params, jbatch,
+                eos_token_id=tokenizer.eos_token_id,
+                num_beams=tc.num_beams,
+                max_new_tokens=tc.max_new_tokens,
+            )
+            out = np.asarray(out)
+            timer.stop(_audio_secs(batch))
+            audio_secs += _audio_secs(batch)
+            n_tokens += int(
+                (out != tokenizer.eos_token_id).sum()
+            )
+            texts = tokenizer.batch_decode(out)
+            for key, target, text, valid in zip(
+                batch["keys"], batch["targets"], texts,
+                batch.get("batch_valid", [True] * len(texts)),
+            ):
+                if not valid:
+                    continue
+                fpred.write(f"{key}\t{text}\n")
+                fgt.write(f"{key}\t{target}\n")
+
+    rtf_inv = timer.audio_sec_per_sec
+    logger.info(
+        f"decode done: {pred_path}; {rtf_inv:.1f} audio-s/s "
+        f"(RTF {1.0 / rtf_inv if rtf_inv else float('inf'):.4f})"
+    )
+    return 0
+
+
+def _audio_secs(batch) -> float:
+    if "waveform_length" in batch:
+        return float(np.sum(batch["waveform_length"])) / 16000.0
+    if "input_feature_length" in batch:
+        return float(np.sum(batch["input_feature_length"])) * 0.060
+    return 0.0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -223,8 +223,9 @@ def _coerce(value: str, current: Any) -> Any:
             return float(value)
     if isinstance(current, float):
         return float(value)
-    if isinstance(current, (list, dict)) or (
-        value[:1] in "[{" and value[-1:] in "]}"
+    if value and (
+        isinstance(current, (list, dict))
+        or (value[0] in "[{" and value[-1] in "]}")
     ):
         return json.loads(value)
     # ints/floats for untyped (None-default) fields

@@ -1,0 +1,297 @@
+"""WER/CER scorer over ``key\\ttext`` files.
+
+Functional equivalent of the reference's vendored wenet Levenshtein tool
+(``Multitask/utils/wenet_compute_cer.py``, invoked as
+``python utils/wenet_compute_cer.py --char=1 -v=1 gt pred`` at
+``scripts/decode_sensevoice.sh:94-97``).  Same semantics, fresh
+implementation:
+
+  * unicode characterization: CJK codepoints are single tokens, latin /
+    digit runs are word tokens, ``<tag>`` markers are single tokens,
+    punctuation is dropped (``--char=1``); ``--char=0`` splits on whitespace
+  * case-insensitive by default (wenet upper-cases)
+  * full alignment printing with ``-v 1``
+  * per-language-cluster (Mandarin/English/Other) statistics
+  * summary: corrections / substitutions / deletions / insertions and
+    WER = (S+D+I) / (C+S+D) * 100
+
+CLI: ``python -m ps_slm_tpu.tools.wer [--char=1] [-v=1] ref hyp``.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import unicodedata
+from typing import Dict, List, Optional, Tuple
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x3040 <= cp <= 0x30FF   # kana
+        or 0xAC00 <= cp <= 0xD7AF   # hangul
+    )
+
+
+def characterize(text: str) -> List[str]:
+    """Tokenize: CJK per-char, latin/digit runs as words, <tags> kept."""
+    tokens: List[str] = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch == "<":
+            j = text.find(">", i)
+            if j != -1:
+                tokens.append(text[i: j + 1])
+                i = j + 1
+                continue
+            i += 1
+            continue
+        if _is_cjk(ch):
+            tokens.append(ch)
+            i += 1
+            continue
+        if ch.isalnum() or ch in "'’":
+            j = i
+            while j < len(text) and (text[j].isalnum() or text[j] in "'’"):
+                j += 1
+            tokens.append(text[i:j])
+            i = j
+            continue
+        i += 1  # punctuation dropped
+    return tokens
+
+
+def default_cluster(token: str) -> str:
+    """Language cluster of a token (wenet default_cluster semantics)."""
+    if not token:
+        return "Other"
+    ch = token[0]
+    if _is_cjk(ch):
+        try:
+            name = unicodedata.name(ch)
+        except ValueError:
+            return "Other"
+        if "CJK" in name:
+            return "Mandarin"
+        if "HIRAGANA" in name or "KATAKANA" in name:
+            return "Japanese"
+        if "HANGUL" in name:
+            return "Korean"
+        return "Other"
+    if ch.isascii() and ch.isalpha():
+        return "English"
+    return "Other"
+
+
+class Calculator:
+    """Levenshtein alignment + per-token statistics accumulator."""
+
+    def __init__(self):
+        self.data: Dict[str, Dict[str, int]] = {}
+
+    def _rec(self, token: str) -> Dict[str, int]:
+        if token not in self.data:
+            self.data[token] = {"all": 0, "cor": 0, "sub": 0, "ins": 0, "del": 0}
+        return self.data[token]
+
+    def calculate(
+        self, lab: List[str], rec: List[str]
+    ) -> Dict:
+        """Align `rec` (hypothesis) to `lab` (reference).
+
+        Returns {"lab": aligned_ref, "rec": aligned_hyp, "all", "cor",
+        "sub", "ins", "del"} with '' marking gaps.
+        """
+        L, R = len(lab), len(rec)
+        # dp[i][j]: cost; back[i][j]: 0 diag-cor, 1 diag-sub, 2 up-del, 3 left-ins
+        INF = 10 ** 9
+        dp = [[0] * (R + 1) for _ in range(L + 1)]
+        back = [[0] * (R + 1) for _ in range(L + 1)]
+        for i in range(1, L + 1):
+            dp[i][0] = i
+            back[i][0] = 2
+        for j in range(1, R + 1):
+            dp[0][j] = j
+            back[0][j] = 3
+        for i in range(1, L + 1):
+            for j in range(1, R + 1):
+                same = lab[i - 1] == rec[j - 1]
+                diag = dp[i - 1][j - 1] + (0 if same else 1)
+                up = dp[i - 1][j] + 1
+                left = dp[i][j - 1] + 1
+                best = min(diag, up, left)
+                dp[i][j] = best
+                if best == diag:
+                    back[i][j] = 0 if same else 1
+                elif best == up:
+                    back[i][j] = 2
+                else:
+                    back[i][j] = 3
+
+        # backtrace
+        a_lab: List[str] = []
+        a_rec: List[str] = []
+        counts = {"all": 0, "cor": 0, "sub": 0, "ins": 0, "del": 0}
+        i, j = L, R
+        while i > 0 or j > 0:
+            op = back[i][j]
+            if i > 0 and j > 0 and op in (0, 1):
+                a_lab.append(lab[i - 1])
+                a_rec.append(rec[j - 1])
+                rec_tok = self._rec(lab[i - 1])
+                if op == 0:
+                    counts["cor"] += 1
+                    rec_tok["cor"] += 1
+                else:
+                    counts["sub"] += 1
+                    rec_tok["sub"] += 1
+                counts["all"] += 1
+                rec_tok["all"] += 1
+                i, j = i - 1, j - 1
+            elif i > 0 and op == 2:
+                a_lab.append(lab[i - 1])
+                a_rec.append("")
+                counts["del"] += 1
+                counts["all"] += 1
+                t = self._rec(lab[i - 1])
+                t["del"] += 1
+                t["all"] += 1
+                i -= 1
+            else:
+                a_lab.append("")
+                a_rec.append(rec[j - 1])
+                counts["ins"] += 1
+                self._rec(rec[j - 1])["ins"] += 1
+                j -= 1
+        a_lab.reverse()
+        a_rec.reverse()
+        return {"lab": a_lab, "rec": a_rec, **counts}
+
+    def overall(self, tokens: Optional[List[str]] = None) -> Dict[str, int]:
+        keys = tokens if tokens is not None else list(self.data)
+        out = {"all": 0, "cor": 0, "sub": 0, "ins": 0, "del": 0}
+        for t in keys:
+            if t in self.data:
+                for k in out:
+                    out[k] += self.data[t][k]
+        return out
+
+    def cluster(self, cluster_name: str) -> Dict[str, int]:
+        toks = [t for t in self.data if default_cluster(t) == cluster_name]
+        return self.overall(toks)
+
+
+def wer_percent(c: Dict[str, int]) -> float:
+    denom = c["cor"] + c["sub"] + c["del"]
+    if denom == 0:
+        return 0.0
+    return (c["sub"] + c["del"] + c["ins"]) / denom * 100.0
+
+
+def read_keyed_file(path: str) -> Dict[str, str]:
+    out = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if "\t" in line:
+                key, text = line.split("\t", 1)
+            else:
+                parts = line.split(maxsplit=1)
+                key = parts[0]
+                text = parts[1] if len(parts) > 1 else ""
+            out[key.strip()] = text.strip()
+    return out
+
+
+def score_files(
+    ref_path: str, hyp_path: str, *, char: bool = True,
+    case_sensitive: bool = False, verbose: bool = False,
+    stream=sys.stdout,
+) -> Dict:
+    refs = read_keyed_file(ref_path)
+    hyps = read_keyed_file(hyp_path)
+    calc = Calculator()
+    missing = 0
+    for key, ref_text in refs.items():
+        hyp_text = hyps.get(key)
+        if hyp_text is None:
+            missing += 1
+            hyp_text = ""
+        if not case_sensitive:
+            ref_text = ref_text.upper()
+            hyp_text = hyp_text.upper()
+        lab = characterize(ref_text) if char else ref_text.split()
+        rec = characterize(hyp_text) if char else hyp_text.split()
+        result = calc.calculate(lab, rec)
+        if verbose:
+            stream.write(f"utt: {key}\n")
+            stream.write(
+                "WER: {:4.2f} % N={} C={} S={} D={} I={}\n".format(
+                    wer_percent(result), result["all"], result["cor"],
+                    result["sub"], result["del"], result["ins"],
+                )
+            )
+            stream.write("lab: " + " ".join(t or "***" for t in result["lab"]) + "\n")
+            stream.write("rec: " + " ".join(t or "***" for t in result["rec"]) + "\n\n")
+
+    overall = calc.overall()
+    stream.write("=" * 60 + "\n")
+    stream.write(
+        "Overall -> {:4.2f} % N={} C={} S={} D={} I={}\n".format(
+            wer_percent(overall), overall["all"], overall["cor"],
+            overall["sub"], overall["del"], overall["ins"],
+        )
+    )
+    for name in ("Mandarin", "English", "Japanese", "Korean", "Other"):
+        c = calc.cluster(name)
+        if c["all"] or c["ins"]:
+            stream.write(
+                "{} -> {:4.2f} % N={} C={} S={} D={} I={}\n".format(
+                    name, wer_percent(c), c["all"], c["cor"], c["sub"],
+                    c["del"], c["ins"],
+                )
+            )
+    if missing:
+        stream.write(f"(missing hypotheses for {missing} utts)\n")
+    return {"wer": wer_percent(overall), **overall}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    char = True
+    verbose = False
+    case_sensitive = False
+    paths = []
+    for a in argv:
+        if a.startswith("--char"):
+            char = a.split("=")[-1] in ("1", "true", "")
+        elif a.startswith("-v") or a.startswith("--v"):
+            verbose = a.split("=")[-1] in ("1", "true", "-v", "")
+        elif a.startswith("--cs"):
+            case_sensitive = a.split("=")[-1] in ("1", "true")
+        else:
+            paths.append(a)
+    if len(paths) != 2:
+        print(
+            "usage: python -m ps_slm_tpu.tools.wer [--char=1] [-v=1] ref hyp"
+        )
+        return 2
+    score_files(
+        paths[0], paths[1], char=char, verbose=verbose,
+        case_sensitive=case_sensitive,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,118 @@
+"""End-to-end CLI tests on tiny fixtures: finetune a few steps (checkpoint
+written, reference-format export), then batch decode + WER scoring."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ps_slm_tpu.data import audio_io
+
+
+@pytest.fixture()
+def fixtures(tmp_path):
+    rng = np.random.default_rng(0)
+    rate = 16000
+    entries = {}
+    for i in range(8):
+        dur = int(rng.integers(rate // 2, rate))
+        entries[f"utt{i}"] = (rate, rng.normal(size=dur).astype(np.float32) * 0.1)
+    ark = tmp_path / "wav.ark"
+    offsets = audio_io.write_kaldi_wav_ark(str(ark), entries)
+
+    for split in ("train", "dev", "test"):
+        d = tmp_path / split
+        d.mkdir()
+        with open(d / "multitask.jsonl", "w") as f:
+            for i in range(8):
+                f.write(json.dumps({
+                    "key": f"utt{i}",
+                    "path": f"{ark}:{offsets[f'utt{i}']}",
+                    "target": f"word{i} hello",
+                    "GT": f"word{i} hello",
+                    "task": "ASR",
+                }) + "\n")
+
+    prompt = tmp_path / "multiprompt.jsonl"
+    prompt.write_text(json.dumps({"task": "ASR", "prompt": "transcribe:"}) + "\n")
+    return tmp_path
+
+
+def _common_args(tmp_path):
+    return [
+        "++model_config.llm_path=",
+        "++model_config.encoder_projector=linear-silu",
+        "++model_config.encoder_dim=11",
+        "++model_config.llm_dim=64",
+        '++model_config.encoder_config_overrides={"input_size": 560}',
+        "++train_config.ctc_posterior=true",
+        "++train_config.do_psd=true",
+        "++train_config.freeze_llm=true",
+        "++train_config.freeze_encoder=true",
+        "++train_config.mixed_precision=false",
+        f"++dataset_config.multitask_prompt_path={tmp_path}/multiprompt.jsonl",
+        f"++dataset_config.train_scp_file_path={tmp_path}/train",
+        f"++dataset_config.dev_scp_file_path={tmp_path}/dev",
+        f"++dataset_config.test_scp_file_path={tmp_path}/test",
+        "++dataset_config.train_max_frame_length=100",
+        "++dataset_config.eval_max_frame_length=300",
+        "++dataset_config.feature_bucket=16",
+        "++dataset_config.token_bucket=8",
+        f"++log_config.log_file={tmp_path}/log.txt",
+        "++log_config.log_interval=1",
+    ]
+
+
+def test_finetune_cli(fixtures):
+    from ps_slm_tpu.cli.finetune import main
+
+    out_dir = fixtures / "out"
+    rc = main(_common_args(fixtures) + [
+        f"++train_config.output_dir={out_dir}",
+        "++train_config.num_epochs=2",
+        "++train_config.validation_interval=2",
+        "++train_config.lr=1e-3",
+        "++train_config.warmup_steps=1",
+        "++train_config.total_steps=20",
+    ])
+    assert rc == 0
+    assert (out_dir / "resolved_config.json").exists()
+    # a validation-gated checkpoint should exist with the reference export
+    ckpts = [p for p in out_dir.iterdir() if p.name.startswith("step_")]
+    assert ckpts, list(out_dir.iterdir())
+    assert (ckpts[0] / "pytorch_model.bin").exists()
+    import torch
+
+    sd = torch.load(
+        ckpts[0] / "pytorch_model.bin", map_location="cpu", weights_only=False
+    )
+    # frozen llm+encoder excluded (exclude_frozen semantics)
+    assert all(k.startswith("encoder_projector.") for k in sd)
+    assert "encoder_projector.ffn.0.weight" in sd
+
+
+def test_decode_cli_and_scoring(fixtures):
+    from ps_slm_tpu.cli.decode import main
+    from ps_slm_tpu.tools.clean_marks import strip_all_punct
+    from ps_slm_tpu.tools.wer import score_files
+
+    decode_log = fixtures / "decode" / "test"
+    rc = main(_common_args(fixtures) + [
+        f"decode_log={decode_log}",
+        "++train_config.num_beams=2",
+        "++train_config.max_new_tokens=8",
+    ])
+    assert rc == 0
+    pred = str(decode_log) + "_pred"
+    gt = str(decode_log) + "_gt"
+    assert os.path.exists(pred) and os.path.exists(gt)
+    with open(gt) as f:
+        lines = [l.strip().split("\t") for l in f if l.strip()]
+    assert len(lines) == 8  # all utts decoded exactly once
+
+    strip_all_punct(pred)
+    import io
+
+    res = score_files(gt, pred, stream=io.StringIO())
+    assert "wer" in res and res["all"] > 0

@@ -1,0 +1,67 @@
+"""WER scorer + punctuation cleaner tests."""
+
+import io
+
+import numpy as np
+
+from ps_slm_tpu.tools.clean_marks import clean_text, strip_all_punct
+from ps_slm_tpu.tools.wer import (
+    Calculator, characterize, default_cluster, score_files, wer_percent,
+)
+
+
+def test_characterize_mixed():
+    toks = characterize("hello 世界 it's ok <tag> 123")
+    assert toks == ["hello", "世", "界", "it's", "ok", "<tag>", "123"]
+
+
+def test_characterize_drops_punct():
+    assert characterize("a, b! c?") == ["a", "b", "c"]
+
+
+def test_default_cluster():
+    assert default_cluster("hello") == "English"
+    assert default_cluster("世") == "Mandarin"
+    assert default_cluster("ア") == "Japanese"
+    assert default_cluster("한") == "Korean"
+
+
+def test_calculator_alignment():
+    c = Calculator()
+    r = c.calculate(list("abcd"), list("abxd"))
+    assert (r["cor"], r["sub"], r["del"], r["ins"]) == (3, 1, 0, 0)
+    r2 = c.calculate(list("abc"), list("abcd"))
+    assert r2["ins"] == 1
+    r3 = c.calculate(list("abc"), list("ac"))
+    assert r3["del"] == 1
+
+
+def test_wer_known_value(tmp_path):
+    ref = tmp_path / "ref"
+    hyp = tmp_path / "hyp"
+    ref.write_text("u1\tthe cat sat\nu2\thello world\n")
+    hyp.write_text("u1\tthe cat sit\nu2\thello there world\n")
+    out = io.StringIO()
+    res = score_files(str(ref), str(hyp), verbose=True, stream=out)
+    # N=5, S=1 (sat->sit), I=1 (there): WER = 2/5 = 40%
+    assert res["all"] == 5
+    np.testing.assert_allclose(res["wer"], 40.0)
+    assert "Overall" in out.getvalue()
+    assert "utt: u1" in out.getvalue()
+
+
+def test_wer_case_insensitive(tmp_path):
+    ref = tmp_path / "ref"
+    hyp = tmp_path / "hyp"
+    ref.write_text("u1\tHello World\n")
+    hyp.write_text("u1\thello world\n")
+    res = score_files(str(ref), str(hyp), stream=io.StringIO())
+    assert res["wer"] == 0.0
+
+
+def test_clean_marks(tmp_path):
+    assert clean_text("hello, world! 你好。") == "hello world 你好"
+    p = tmp_path / "pred"
+    p.write_text("u1\thi, there!\nu2\tok…\n")
+    strip_all_punct(str(p))
+    assert p.read_text() == "u1\thi there\nu2\tok\n"
