@@ -63,38 +63,73 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _param_spec(path_keys, shape, fsdp_size: int, min_size: int) -> P:
-    """FSDP rule: shard the largest dimension divisible by fsdp_size for
-    leaves with >= min_size elements; replicate the rest.
+# Megatron-style tensor-parallel rules for transformer projections:
+# column-parallel (out-features sharded) for q/k/v/gate/up + embeddings,
+# row-parallel (in-features sharded) for o/down. XLA inserts the
+# all-reduces from these annotations alone.
+_TP_COL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "qkv", "w1",
+           "ffn1"}
+_TP_ROW = {"o_proj", "down_proj", "out", "w2", "ffn2"}
+
+
+def _tp_spec(path_keys, shape, tensor_size: int):
+    """Return (dim, axis) tensor-parallel placement or None."""
+    names = {str(k) for k in path_keys}
+    if "embed_tokens" in names:
+        dim = 0                                     # vocab rows
+    elif "lm_head" in names:
+        dim = len(shape) - 1                        # vocab cols
+    elif "kernel" in names and names & _TP_COL:
+        dim = len(shape) - 1                        # out features
+    elif "kernel" in names and names & _TP_ROW:
+        dim = len(shape) - 2                        # in features
+    else:
+        return None
+    if dim >= 0 and shape[dim] % tensor_size == 0:
+        return dim, "tensor"
+    return None
+
+
+def _param_spec(
+    path_keys, shape, fsdp_size: int, min_size: int, tensor_size: int = 1
+) -> P:
+    """Sharding rule: optional tensor-parallel placement first, then FSDP on
+    the largest remaining dimension divisible by fsdp_size for leaves with
+    >= min_size elements; replicate the rest.
 
     For stacked-layer leaves (leading axis = layer) the layer axis is never
     sharded (scan carries it).
     """
+    spec = [None] * len(shape)
+    if tensor_size > 1 and int(np.prod(shape)) >= min_size:
+        tp = _tp_spec(path_keys, shape, tensor_size)
+        if tp is not None:
+            spec[tp[0]] = tp[1]
     if fsdp_size <= 1 or int(np.prod(shape)) < min_size:
-        return P()
+        return P(*spec)
     stacked = any(str(k) == "layers" for k in path_keys)
     start = 1 if (stacked and len(shape) > 1) else 0
-    # choose the largest shardable dim
     best, best_size = None, 0
     for i in range(start, len(shape)):
-        if shape[i] % fsdp_size == 0 and shape[i] > best_size:
+        if spec[i] is None and shape[i] % fsdp_size == 0 and shape[i] > best_size:
             best, best_size = i, shape[i]
-    if best is None:
-        return P()
-    spec = [None] * len(shape)
-    spec[best] = "fsdp"
+    if best is not None:
+        spec[best] = "fsdp"
     return P(*spec)
 
 
 def param_shardings(
     params: Params, mesh: Mesh, min_size: int = 2 ** 16
 ) -> Params:
-    """Pytree of NamedShardings implementing the FSDP rule."""
+    """Pytree of NamedShardings implementing the TP + FSDP rules."""
     fsdp_size = mesh.shape["fsdp"]
+    tensor_size = mesh.shape.get("tensor", 1)
 
     def one(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        spec = _param_spec(keys, jnp.shape(leaf), fsdp_size, min_size)
+        spec = _param_spec(
+            keys, jnp.shape(leaf), fsdp_size, min_size, tensor_size
+        )
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, params)

@@ -128,3 +128,30 @@ def test_padded_global_batching_no_contribution():
         jax.random.PRNGKey(3),
     )
     np.testing.assert_allclose(float(loss5b), float(loss8b), rtol=1e-5)
+
+
+def test_tensor_parallel_sharding_and_step():
+    """dp x fsdp x tp mesh: TP rules place q/k/v col-parallel and o row-
+    parallel; one train step runs and matches the data-parallel loss."""
+    model, tc, batch = _model_and_batch()
+    m_dp = meshlib.build_mesh(None)
+    m_tp = meshlib.build_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+
+    sh = meshlib.param_shardings(model.params, m_tp, min_size=256)
+    qspec = sh["llm"]["layers"]["q_proj"]["kernel"].spec
+    ospec = sh["llm"]["layers"]["o_proj"]["kernel"].spec
+    assert qspec[-1] == "tensor"        # column parallel
+    assert ospec[-2] == "tensor"        # row parallel
+
+    from ps_slm_tpu.models.tasu import forward
+
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss_dp, _ = forward(
+        model, meshlib.shard_params(model.params, m_dp, 256), jbatch,
+        jax.random.PRNGKey(3),
+    )
+    loss_tp, _ = forward(
+        model, meshlib.shard_params(model.params, m_tp, 256), jbatch,
+        jax.random.PRNGKey(3),
+    )
+    np.testing.assert_allclose(float(loss_dp), float(loss_tp), rtol=2e-5)
