@@ -109,21 +109,28 @@ def train(
             epoch_loss = epoch_acc = 0.0
             epoch_batches = 0
             with MemoryTrace() as mem:
+                pending = []  # async metrics; synced at log points only
                 for batch in train_batches_fn(epoch):
                     timer.start()
                     gbatch = to_device_batch(batch, mesh)
                     state, metrics = step_fn(state, gbatch, rng)
-                    loss = float(metrics["loss"])
+                    # do NOT materialize metrics here: a device->host sync
+                    # every step would serialize the pipeline
+                    pending.append(metrics)
                     timer.stop(_batch_audio_seconds(batch))
-                    epoch_loss += loss
-                    epoch_acc += float(metrics["acc"])
                     epoch_batches += 1
                     global_step += 1
 
                     if global_step % log_config.log_interval == 0:
+                        for m in pending:
+                            epoch_loss += float(m["loss"])
+                            epoch_acc += float(m["acc"])
+                        loss = float(pending[-1]["loss"])
+                        acc = float(pending[-1]["acc"])
+                        pending = []
                         msg = (
                             f"step {global_step} loss {loss:.4f} "
-                            f"acc {float(metrics['acc']):.4f} "
+                            f"acc {acc:.4f} "
                             f"{timer.steps_per_sec:.2f} it/s "
                             f"{timer.audio_sec_per_sec:.1f} audio-s/s"
                         )
@@ -132,7 +139,7 @@ def train(
                             metric_logger.log(
                                 {
                                     "train/loss": loss,
-                                    "train/acc": float(metrics["acc"]),
+                                    "train/acc": acc,
                                     "train/steps_per_sec": timer.steps_per_sec,
                                     "train/audio_sec_per_sec":
                                         timer.audio_sec_per_sec,
@@ -163,6 +170,10 @@ def train(
                             log(
                                 f"checkpoint saved (eval_loss {best_eval:.4f})"
                             )
+
+                for m in pending:  # flush tail metrics
+                    epoch_loss += float(m["loss"])
+                    epoch_acc += float(m["acc"])
 
             epoch_time = time.perf_counter() - epoch_start
             denom = max(epoch_batches, 1)
