@@ -90,7 +90,7 @@ def main():
     model.params = meshlib.shard_params(model.params, mesh)
     trainable = trainable_mask(model, tc)
     tx, _ = build_optimizer(tc, trainable)
-    state = create_train_state(model.params, tx)
+    state = create_train_state(model.params, tx, trainable)
 
     rng = np.random.default_rng(0)
     ids = rng.integers(1, 1000, size=(batch, TEXT_LEN)).astype(np.int32)
@@ -112,7 +112,7 @@ def main():
         mesh,
     )
 
-    step = make_train_step(model, tx)
+    step = make_train_step(model, tx, trainable)
     key = jax.random.PRNGKey(0)
     for _ in range(WARMUP):
         state, metrics = step(state, gbatch, key)

@@ -85,7 +85,7 @@ def main(argv=None):
     model.params = meshlib.shard_params(model.params, mesh, tc.fsdp_min_size)
     trainable = trainable_mask(model, tc)
     tx, _ = build_optimizer(tc, trainable)
-    state = create_train_state(model.params, tx)
+    state = create_train_state(model.params, tx, trainable)
 
     if tc.resume_from:
         state = ckpt.restore_train_state(tc.resume_from, state)
@@ -129,6 +129,7 @@ def main(argv=None):
         state, history = train(
             model, state, tx, tc, lc,
             train_batches, eval_batches, mesh,
+            trainable=trainable,
             logger=logger, metric_logger=metric_logger,
             checkpoint_fn=checkpoint_fn,
         )

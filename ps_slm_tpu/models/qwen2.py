@@ -268,7 +268,10 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 
 def _linear(x, p):
-    y = x @ p["kernel"]
+    if "q8" in p:  # int8 weight-only (ps_slm_tpu.models.quantization)
+        y = (x @ p["q8"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ p["kernel"]
     if "bias" in p:
         y = y + p["bias"]
     if "lora_a" in p:  # LoRA adapter (ps_slm_tpu.models.lora)

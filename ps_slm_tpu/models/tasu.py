@@ -389,6 +389,12 @@ def model_factory(
         "llm": llm_params,
     }
 
+    if train_config.quantization:
+        # int8 weight-only LLM (reference load_in_8bit, ps-slm.py:92-103)
+        from ps_slm_tpu.models.quantization import quantize_llm
+
+        params["llm"] = quantize_llm(params["llm"])
+
     if train_config.use_peft:
         from ps_slm_tpu.models.lora import add_lora
 

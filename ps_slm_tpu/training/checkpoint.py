@@ -229,8 +229,9 @@ def export_reference_checkpoint(
 
     if "llm" not in exclude:
         from ps_slm_tpu.models.lora import merge_lora
+        from ps_slm_tpu.models.quantization import dequantize_llm
 
-        llm_export = merge_lora(model.params["llm"])
+        llm_export = merge_lora(dequantize_llm(model.params["llm"]))
         for k, v in q.params_to_hf(llm_export, model.llm_cfg).items():
             tensors[f"llm.{k}"] = v
 

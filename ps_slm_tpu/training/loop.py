@@ -83,6 +83,7 @@ def train(
     train_batches_fn: Callable[[int], Iterable[Dict]],
     eval_batches_fn: Optional[Callable[[], Iterable[Dict]]] = None,
     mesh=None,
+    trainable=None,
     logger=None,
     metric_logger=None,
     checkpoint_fn: Optional[Callable] = None,
@@ -93,7 +94,7 @@ def train(
     Returns (state, history dict).
     """
     mesh = mesh or meshlib.build_mesh(train_config.mesh_shape)
-    step_fn = make_train_step(model, tx)
+    step_fn = make_train_step(model, tx, trainable)
     eval_step = make_eval_step(model) if eval_batches_fn else None
     timer = StepTimer()
     rng = jax.random.PRNGKey(train_config.seed)

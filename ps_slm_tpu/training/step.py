@@ -7,6 +7,10 @@ FSDP all-gathers are inserted by the compiler from the shardings — the
 explicit NCCL all-reduce / reduce-scatter of the reference has no user-level
 analogue here.  Metrics come back as global means (the reference needed an
 explicit ``dist.all_reduce`` for this, deepspeed_utils.py:318-327).
+
+Gradients are taken only with respect to the *trainable* partition of the
+params (see training.train_state) — frozen modules (and int8-quantized
+weights) sit outside autodiff entirely, exactly like requires_grad=False.
 """
 
 from __future__ import annotations
@@ -18,23 +22,31 @@ import jax
 import jax.numpy as jnp
 
 from ps_slm_tpu.models import tasu
-from ps_slm_tpu.training.train_state import TrainState, apply_gradients
+from ps_slm_tpu.training.train_state import (
+    TrainState, apply_gradients, combine, partition,
+)
 
 
-def make_train_step(model: "tasu.TasuModel", tx) -> Callable:
+def make_train_step(
+    model: "tasu.TasuModel", tx, trainable: Optional[Dict] = None
+) -> Callable:
     """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    if trainable is None:
+        trainable = jax.tree_util.tree_map(lambda _: True, model.params)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        train_part, frozen_part = partition(state.params, trainable)
 
-        def loss_fn(params):
+        def loss_fn(tp):
+            params = combine(tp, frozen_part)
             loss, aux = tasu.forward(model, params, batch, rng)
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+            train_part
         )
-        new_state = apply_gradients(state, grads, tx)
+        new_state = apply_gradients(state, grads, tx, trainable)
         metrics = {"loss": loss, "acc": aux["acc"], "ntokens": aux["ntokens"]}
         return new_state, metrics
 

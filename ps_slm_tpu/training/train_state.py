@@ -6,13 +6,17 @@ TPU-native equivalent of the DeepSpeed engine config
 the mesh layer (:mod:`ps_slm_tpu.parallel`) via sharding constraints — optax
 state inherits the param shardings, so "stage 1/2" falls out of pjit.
 
-Freezing uses ``optax.masked`` driven by :func:`models.tasu.trainable_mask`
-(reference freeze flags, ps-slm.py:35-38,105-108; PEFT at :114-125).
+Freezing uses **partitioning** (reference freeze flags, ps-slm.py:35-38,
+105-108; PEFT at :114-125): params are split into trainable/frozen subtrees;
+gradients and optimizer state exist only for the trainable part — no Adam
+moments are ever allocated for frozen modules (like DeepSpeed with
+requires_grad=False params), and non-differentiable leaves (int8 quantized
+weights) are never touched by autodiff.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,10 +25,25 @@ import optax
 Params = Dict[str, Any]
 
 
+def partition(params: Params, mask: Params) -> Tuple[Params, Params]:
+    """Split by boolean mask -> (trainable, frozen); None marks holes."""
+    train = jax.tree_util.tree_map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree_util.tree_map(lambda p, m: None if m else p, params, mask)
+    return train, frozen
+
+
+def combine(a: Params, b: Params) -> Params:
+    """Inverse of :func:`partition` (first non-None wins)."""
+    return jax.tree_util.tree_map(
+        lambda x, y: y if x is None else x, a, b,
+        is_leaf=lambda v: v is None,
+    )
+
+
 class TrainState(NamedTuple):
     step: jnp.ndarray
-    params: Params
-    opt_state: Any
+    params: Params          # FULL param tree (trainable + frozen)
+    opt_state: Any          # optimizer state over the trainable subtree only
 
 
 def warmup_cosine(lr: float, warmup_steps: int, total_steps: int,
@@ -40,7 +59,11 @@ def warmup_cosine(lr: float, warmup_steps: int, total_steps: int,
 
 
 def build_optimizer(train_config, trainable: Optional[Params] = None):
-    """AdamW + schedule (+ freeze mask + grad clipping)."""
+    """AdamW + schedule (+ grad accumulation).
+
+    `trainable` is accepted for API symmetry; partitioning happens in the
+    step/state constructors, so the transform itself is unmasked.
+    """
     schedule = warmup_cosine(
         train_config.lr, train_config.warmup_steps, train_config.total_steps
     )
@@ -51,15 +74,6 @@ def build_optimizer(train_config, trainable: Optional[Params] = None):
         eps=train_config.adam_eps,
         weight_decay=train_config.weight_decay,
     )
-    if trainable is not None:
-        # frozen leaves must get *zero* updates (optax.masked would pass raw
-        # gradients through unchanged for masked-out leaves)
-        labels = jax.tree_util.tree_map(
-            lambda m: "train" if m else "freeze", trainable
-        )
-        tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()}, labels
-        )
     if train_config.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(
             tx, every_k_schedule=train_config.gradient_accumulation_steps
@@ -67,15 +81,26 @@ def build_optimizer(train_config, trainable: Optional[Params] = None):
     return tx, schedule
 
 
-def create_train_state(params: Params, tx) -> TrainState:
+def create_train_state(
+    params: Params, tx, trainable: Optional[Params] = None
+) -> TrainState:
+    if trainable is None:
+        trainable = jax.tree_util.tree_map(lambda _: True, params)
+    train_part, _ = partition(params, trainable)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=tx.init(train_part),
     )
 
 
-def apply_gradients(state: TrainState, grads: Params, tx) -> TrainState:
-    updates, new_opt = tx.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    return TrainState(state.step + 1, new_params, new_opt)
+def apply_gradients(
+    state: TrainState, grads: Params, tx, trainable: Params
+) -> TrainState:
+    """grads is a trainable-subtree pytree (holes = None)."""
+    train_part, frozen_part = partition(state.params, trainable)
+    updates, new_opt = tx.update(grads, state.opt_state, train_part)
+    new_train = optax.apply_updates(train_part, updates)
+    return TrainState(
+        state.step + 1, combine(new_train, frozen_part), new_opt
+    )

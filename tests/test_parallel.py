@@ -77,11 +77,11 @@ def test_sharded_train_step(mesh_shape):
     model.params = meshlib.shard_params(model.params, m, min_size=1024)
     trainable = trainable_mask(model, tc)
     tx, _ = build_optimizer(tc, trainable)
-    state = create_train_state(model.params, tx)
+    state = create_train_state(model.params, tx, trainable)
     gbatch = meshlib.shard_batch(
         {k: jnp.asarray(v) for k, v in batch.items()}, m
     )
-    step = make_train_step(model, tx)
+    step = make_train_step(model, tx, trainable)
     losses = []
     for i in range(4):
         state, metrics = step(state, gbatch, jax.random.PRNGKey(1))

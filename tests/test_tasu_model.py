@@ -140,35 +140,29 @@ def test_text_only_training_loss_decreases():
         lr=5e-3, warmup_steps=2, total_steps=50,
     )
     batch = _mk_batch(np.random.default_rng(7), with_audio=False)
+    from ps_slm_tpu.training.step import make_train_step
+
+    # snapshot originals before the donating train step invalidates them
+    emb0 = np.asarray(model.params["llm"]["embed_tokens"]).copy()
+    proj0 = np.asarray(model.params["projector"]["ffn1"]["kernel"]).copy()
+
     trainable = trainable_mask(model, tc)
     tx, _ = build_optimizer(tc, trainable)
-    state = create_train_state(model.params, tx)
-
-    @jax.jit
-    def step(state, key):
-        def loss_fn(params):
-            loss, aux = forward(model, params, batch, key)
-            return loss, aux
-
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        return apply_gradients(state, grads, tx), loss
+    state = create_train_state(model.params, tx, trainable)
+    step = make_train_step(model, tx, trainable)
 
     losses = []
     for i in range(30):
-        state, loss = step(state, jax.random.PRNGKey(100 + i))
-        losses.append(float(loss))
+        state, metrics = step(state, batch, jax.random.PRNGKey(100))
+        losses.append(float(metrics["loss"]))
 
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses
     # frozen modules unchanged
     np.testing.assert_array_equal(
-        np.asarray(state.params["llm"]["embed_tokens"]),
-        np.asarray(model.params["llm"]["embed_tokens"]),
+        np.asarray(state.params["llm"]["embed_tokens"]), emb0
     )
     # projector actually moved
     assert not np.allclose(
-        np.asarray(state.params["projector"]["ffn1"]["kernel"]),
-        np.asarray(model.params["projector"]["ffn1"]["kernel"]),
+        np.asarray(state.params["projector"]["ffn1"]["kernel"]), proj0
     )
