@@ -75,7 +75,7 @@ def main():
 
     tc = TrainConfig(
         ctc_posterior=True, do_psd=True, freeze_llm=True, freeze_encoder=True,
-        lr=5e-5, warmup_steps=200, total_steps=15000, remat=True,
+        lr=5e-5, warmup_steps=200, total_steps=15000, remat=False,
     )
     mc = ModelConfig(
         llm_path="", encoder_path=None, encoder_projector="linear-silu",

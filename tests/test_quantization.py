@@ -1,0 +1,82 @@
+"""Int8 weight-only quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ps_slm_tpu.models.quantization import (
+    dequantize_kernel, dequantize_llm, q8_matmul, quantize_kernel,
+    quantize_llm,
+)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    node = quantize_kernel(w)
+    assert node["q8"].dtype == jnp.int8
+    back = dequantize_kernel(node)
+    # per-channel int8: relative error bounded by ~1/127 of channel max
+    err = np.abs(np.asarray(back) - np.asarray(w))
+    bound = np.abs(np.asarray(w)).max(axis=0) / 127.0 * 0.51
+    assert (err <= bound[None, :] + 1e-6).all()
+
+
+def test_q8_matmul_close():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    node = quantize_kernel(w)
+    got = np.asarray(q8_matmul(x, node))
+    want = np.asarray(x @ w)
+    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.1)
+
+
+def test_quantized_tasu_forward_close():
+    from ps_slm_tpu.config import ModelConfig, TrainConfig
+    from ps_slm_tpu.models.tasu import forward, model_factory
+
+    def build(quant):
+        tc = TrainConfig(
+            ctc_posterior=True, gt_emb=True, freeze_llm=True,
+            freeze_encoder=True, quantization=quant,
+        )
+        mc = ModelConfig(
+            llm_path="", encoder_path=None, encoder_projector="linear-silu",
+            encoder_dim=11, llm_dim=64, encoder_projector_ds_rate=1,
+        )
+        m = model_factory(tc, mc, rng=jax.random.PRNGKey(0))
+        m.speech_token_id = 250
+        m.use_flash = False
+        return m
+
+    rng = np.random.default_rng(2)
+    b, s = 2, 10
+    ids = rng.integers(1, 200, size=(b, s)).astype(np.int32)
+    ids[:, 3] = 250
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((b, s), bool),
+        "labels": jnp.asarray(np.where(np.arange(s)[None] < 5, -100, ids)),
+        "gt_ids": jnp.asarray(rng.integers(1, 11, size=(b, 6)).astype(np.int32)),
+        "gt_lens": jnp.asarray([6, 4]),
+    }
+    m_fp = build(False)
+    m_q8 = build(True)
+    assert "q8" in m_q8.params["llm"]["layers"]["q_proj"]
+    loss_fp, _ = forward(m_fp, m_fp.params, batch, jax.random.PRNGKey(1))
+    loss_q8, _ = forward(m_q8, m_q8.params, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss_q8), float(loss_fp), rtol=0.05)
+
+
+def test_dequantize_llm_restores_kernels():
+    from ps_slm_tpu.models import qwen2
+
+    cfg = qwen2.Qwen2Config.tiny()
+    params = qwen2.init_params(jax.random.PRNGKey(0), cfg)
+    q = quantize_llm(params)
+    assert "kernel" not in q["layers"]["q_proj"]
+    d = dequantize_llm(q)
+    assert "kernel" in d["layers"]["q_proj"]
+    assert d["layers"]["q_proj"]["kernel"].shape == \
+        params["layers"]["q_proj"]["kernel"].shape
