@@ -60,11 +60,18 @@ def main(argv=None):
         loaded = ckpt.import_reference_checkpoint(model, cfg.ckpt_path, dtype)
         logger.info(f"loaded {len(loaded)} tensors from {cfg.ckpt_path}")
 
+    # multi-process decode (reference inference_batch_deepspeed.py): each
+    # host takes its deterministic shard and writes a suffixed file
+    num_hosts = int(os.environ.get("PS_NUM_HOSTS", "1"))
+    host_id = int(os.environ.get("PS_HOST_ID", "0"))
     batches = get_dataset_factory(dc.factory)(
         dc, tokenizer, "test", encoder_tokenizer=encoder_tokenizer,
+        num_hosts=num_hosts, host_id=host_id,
     )
 
     decode_log = cfg.decode_log or "decode"
+    if num_hosts > 1:
+        decode_log = f"{decode_log}.part{host_id}"
     os.makedirs(os.path.dirname(decode_log) or ".", exist_ok=True)
     pred_path = decode_log + "_pred"
     gt_path = decode_log + "_gt"

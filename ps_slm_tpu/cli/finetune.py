@@ -92,11 +92,16 @@ def main(argv=None):
         logger.info(f"resumed train state from {tc.resume_from}")
 
     dataset_factory = get_dataset_factory(dc.factory)
+    fixed_bs = (
+        tc.batch_size_training
+        if tc.batching_strategy != "dynamic" else None
+    )
 
     def train_batches(epoch):
         return iter(dataset_factory(
             dc, tokenizer, "train", encoder_tokenizer=encoder_tokenizer,
             num_hosts=num_hosts, host_id=host_id,
+            fixed_batch_size=fixed_bs,
         ))
 
     eval_batches = None

@@ -214,6 +214,21 @@ def dynamic_batches(
         yield buf
 
 
+def fixed_batches(
+    samples: Iterator[Sample], batch_size: int
+) -> Iterator[List[Sample]]:
+    """batching_strategy="padding": fixed batch size (reference
+    get_dataloader_kwargs non-dynamic path, utils/config_utils.py:75-84)."""
+    buf: List[Sample] = []
+    for s in samples:
+        buf.append(s)
+        if len(buf) == batch_size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
 def _bucket(n: int, mult: int) -> int:
     return max(((n + mult - 1) // mult) * mult, mult)
 
@@ -302,6 +317,7 @@ class GlobalBatcher:
         max_frame_length: int, ds_rate: int,
         num_hosts: int = 1, host_id: int = 0,
         batch_multiple: int = 1,
+        fixed_batch_size: Optional[int] = None,
     ):
         self.dataset = dataset
         self.collator = collator
@@ -310,11 +326,16 @@ class GlobalBatcher:
         self.num_hosts = num_hosts
         self.host_id = host_id
         self.batch_multiple = batch_multiple
+        self.fixed_batch_size = fixed_batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        for bucket in dynamic_batches(
-            iter(self.dataset), self.max_frame_length, self.ds_rate
-        ):
+        if self.fixed_batch_size:
+            buckets = fixed_batches(iter(self.dataset), self.fixed_batch_size)
+        else:
+            buckets = dynamic_batches(
+                iter(self.dataset), self.max_frame_length, self.ds_rate
+            )
+        for bucket in buckets:
             mine = bucket[self.host_id:: self.num_hosts]
             per_host = -(-len(bucket) // self.num_hosts)
             per_host = -(-per_host // self.batch_multiple) * self.batch_multiple
@@ -331,8 +352,13 @@ class GlobalBatcher:
 def get_speech_dataset(
     dataset_config, tokenizer, split: str, encoder_tokenizer=None,
     num_hosts: int = 1, host_id: int = 0, load_audio: bool = True,
+    fixed_batch_size: Optional[int] = None,
 ):
-    """Reference ``get_speech_dataset`` (speech_dataset_large.py:340-346)."""
+    """Reference ``get_speech_dataset`` (speech_dataset_large.py:340-346).
+
+    ``fixed_batch_size`` selects the "padding" batching strategy
+    (utils/config_utils.py:75-84); None = token-budget dynamic batching.
+    """
     ds = MultiTaskDataset(
         dataset_config, tokenizer, split,
         encoder_tokenizer=encoder_tokenizer, load_audio=load_audio,
@@ -346,4 +372,5 @@ def get_speech_dataset(
     return GlobalBatcher(
         ds, coll, budget, dataset_config.ds_rate,
         num_hosts=num_hosts, host_id=host_id,
+        fixed_batch_size=fixed_batch_size,
     )

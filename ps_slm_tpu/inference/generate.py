@@ -61,6 +61,7 @@ def _step(params, cfg, cache, full_mask, token_ids, positions, index):
     static_argnames=(
         "cfg", "max_new_tokens", "eos_token_id", "pad_token_id",
         "temperature", "top_p", "do_sample", "min_length",
+        "repetition_penalty",
     ),
 )
 def greedy_generate(
@@ -78,9 +79,14 @@ def greedy_generate(
     top_p: float = 1.0,
     do_sample: bool = False,
     min_length: int = 1,
+    repetition_penalty: float = 1.0,
 ) -> jnp.ndarray:
     """Greedy / nucleus-sampling decode. Returns [B, max_new_tokens]
-    (EOS-filled after termination, HF batch_decode-compatible)."""
+    (EOS-filled after termination, HF batch_decode-compatible).
+
+    ``repetition_penalty`` follows the HF rule over *generated* tokens
+    (with inputs_embeds-only prompts HF also only sees generated ids).
+    """
     b, s, _ = inputs_embeds.shape
     capacity = s + max_new_tokens
     dtype = params["embed_tokens"].dtype
@@ -91,8 +97,18 @@ def greedy_generate(
     )
     next_pos = position_ids[:, -1] + 1  # left padding: last position is valid
 
-    def sample_from(logits, key, t):
+    vocab = params["embed_tokens"].shape[0]
+    use_rep = repetition_penalty != 1.0
+    seen0 = jnp.zeros((b, vocab), bool)
+
+    def sample_from(logits, key, t, seen=None):
         logits = logits.astype(jnp.float32)
+        if use_rep and seen is not None:
+            penalized = jnp.where(
+                logits > 0, logits / repetition_penalty,
+                logits * repetition_penalty,
+            )
+            logits = jnp.where(seen, penalized, logits)
         if min_length > 1:
             logits = jnp.where(
                 (t < min_length - 1)
@@ -115,18 +131,19 @@ def greedy_generate(
         return jax.random.categorical(key, logits).astype(jnp.int32)
 
     key0 = rng if rng is not None else jax.random.PRNGKey(0)
-    tokens0 = sample_from(logits, key0, 0)
+    tokens0 = sample_from(logits, key0, 0, seen0)
 
     out = jnp.full((b, max_new_tokens), eos_token_id, jnp.int32)
     out = out.at[:, 0].set(tokens0)
     done0 = tokens0 == eos_token_id
+    seen = seen0.at[jnp.arange(b), tokens0].set(True) if use_rep else seen0
 
     def cond(state):
-        t, _, _, _, done, _, _ = state
+        t, _, _, _, done, _, _, _ = state
         return (t < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        t, cache, full_mask, out, done, tokens, key = state
+        t, cache, full_mask, out, done, tokens, key, seen = state
         index = s + t - 1
         full_mask = jax.lax.dynamic_update_slice(
             full_mask, jnp.ones((b, 1), bool), (0, index)
@@ -136,14 +153,16 @@ def greedy_generate(
             params, cfg, cache, full_mask, tokens, positions, index
         )
         key, sub = jax.random.split(key)
-        nxt = sample_from(logits, sub, t)
+        nxt = sample_from(logits, sub, t, seen)
         nxt = jnp.where(done, eos_token_id, nxt)
         out = out.at[:, t].set(nxt)
         done = done | (nxt == eos_token_id)
-        return t + 1, cache, full_mask, out, done, nxt, key
+        if use_rep:
+            seen = seen.at[jnp.arange(b), nxt].set(True)
+        return t + 1, cache, full_mask, out, done, nxt, key, seen
 
-    _, _, _, out, _, _, _ = jax.lax.while_loop(
-        cond, body, (1, cache, full_mask, out, done0, tokens0, key0)
+    _, _, _, out, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (1, cache, full_mask, out, done0, tokens0, key0, seen)
     )
     return out
 

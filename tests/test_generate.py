@@ -177,3 +177,25 @@ def test_sampling_reproducible():
         temperature=0.8,
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_repetition_penalty_reduces_repeats():
+    cfg, params = _model(vocab=16)
+    emb, mask, pos = _inputs(cfg, params, b=2, s=6, left_pad=(0, 2))
+    base = np.asarray(greedy_generate(
+        params, cfg, emb, mask, pos, max_new_tokens=10, eos_token_id=EOS,
+    ))
+    pen = np.asarray(greedy_generate(
+        params, cfg, emb, mask, pos, max_new_tokens=10, eos_token_id=EOS,
+        repetition_penalty=5.0,
+    ))
+
+    def max_repeat(row):
+        vals, counts = np.unique(row[row != EOS], return_counts=True)
+        return counts.max() if len(counts) else 0
+
+    # strong penalty cannot increase the repeat count of the worst row
+    assert max(max_repeat(r) for r in pen) <= max(max_repeat(r) for r in base)
+    # deterministic + different from base when base repeats
+    if max(max_repeat(r) for r in base) > 1:
+        assert not np.array_equal(base, pen)
