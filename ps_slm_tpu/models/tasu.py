@@ -136,7 +136,11 @@ def encode_speech(
         ep, enc_cfg, speech, lens, use_flash=use_flash, remat=remat
     )
     logits = sensevoice.ctc_logits(ep, hidden)
-    posterior = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    # softmax statistics in fp32, stored back in the compute dtype (the
+    # reference runs this under autocast bf16, deepspeed_utils.py:205)
+    posterior = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+        hidden.dtype
+    )
 
     encoder_out = hidden[:, 4:, :]
     posterior = posterior[:, 4:, :]

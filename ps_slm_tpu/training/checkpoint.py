@@ -251,7 +251,7 @@ def export_reference_checkpoint(
         import torch
 
         torch.save(
-            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in tensors.items()},
+            {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in tensors.items()},
             path,
         )
     return tensors
