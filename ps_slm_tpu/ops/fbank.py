@@ -286,3 +286,86 @@ def frontend(
     if cmvn is not None:
         feats = apply_cmvn(feats, cmvn[0], cmvn[1])
     return feats, flens
+
+
+# ----------------------------------------------------------------------------
+# Whisper-style log-mel (dataset's encoder=="whisper" path,
+# speech_dataset_large.py:108-118: whisper.pad_or_trim + log_mel_spectrogram)
+# ----------------------------------------------------------------------------
+
+def _mel_slaney(num_mels: int, n_fft: int, sr: int) -> np.ndarray:
+    """librosa-convention mel filters (slaney scale + slaney norm) used by
+    whisper's precomputed mel_filters."""
+    fmax = sr / 2
+    # slaney mel scale
+    def hz_to_mel(f):
+        f = np.asarray(f, np.float64)
+        mel = f / (200.0 / 3)
+        log_region = f >= 1000.0
+        mel = np.where(
+            log_region,
+            15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / (np.log(6.4) / 27.0),
+            mel,
+        )
+        return mel
+
+    def mel_to_hz(m):
+        m = np.asarray(m, np.float64)
+        f = m * (200.0 / 3)
+        log_region = m >= 15.0
+        f = np.where(log_region, 1000.0 * np.exp((np.log(6.4) / 27.0) * (m - 15.0)), f)
+        return f
+
+    mels = np.linspace(hz_to_mel(0.0), hz_to_mel(fmax), num_mels + 2)
+    hz = mel_to_hz(mels)
+    bins = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    weights = np.zeros((num_mels, len(bins)), np.float32)
+    for i in range(num_mels):
+        lower = (bins - hz[i]) / (hz[i + 1] - hz[i])
+        upper = (hz[i + 2] - bins) / (hz[i + 2] - hz[i + 1])
+        weights[i] = np.maximum(0.0, np.minimum(lower, upper))
+    # slaney normalization
+    enorm = 2.0 / (hz[2: num_mels + 2] - hz[:num_mels])
+    weights *= enorm[:, None]
+    return weights.T.astype(np.float32)  # [n_fft//2+1, num_mels]
+
+
+def pad_or_trim(waveform: jnp.ndarray, length: int = 480000) -> jnp.ndarray:
+    """whisper.pad_or_trim: fix the last axis to `length` samples (30 s)."""
+    n = waveform.shape[-1]
+    if n >= length:
+        return waveform[..., :length]
+    widths = [(0, 0)] * (waveform.ndim - 1) + [(0, length - n)]
+    return jnp.pad(waveform, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels", "n_fft", "hop"))
+def whisper_log_mel(
+    waveform: jnp.ndarray,   # [B, 480000] (use pad_or_trim first)
+    *,
+    n_mels: int = 128,
+    n_fft: int = 400,
+    hop: int = 160,
+) -> jnp.ndarray:
+    """whisper.log_mel_spectrogram: centered hann STFT -> slaney mel ->
+    log10 -> dynamic-range clamp (max-8) -> (x+4)/4. Returns [B, n_mels, T]."""
+    b, n = waveform.shape
+    x = waveform.astype(jnp.float32)
+    half = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (half, half)), mode="reflect")
+    num_frames = 1 + (x.shape[1] - n_fft) // hop
+    idx = jnp.arange(num_frames)[:, None] * hop + jnp.arange(n_fft)[None]
+    frames = x[:, idx]                                  # [B, T, n_fft]
+    window = jnp.asarray(
+        0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    )  # periodic hann (torch.hann_window default)
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    power = jnp.square(jnp.abs(spec))[:, :-1, :]        # whisper drops last frame
+    mel = jnp.asarray(_mel_slaney(n_mels, n_fft, 16000))
+    melspec = power @ mel                                # [B, T-1, n_mels]
+    logspec = jnp.log10(jnp.maximum(melspec, 1e-10))
+    logspec = jnp.maximum(
+        logspec, jnp.max(logspec, axis=(1, 2), keepdims=True) - 8.0
+    )
+    logspec = (logspec + 4.0) / 4.0
+    return jnp.swapaxes(logspec, 1, 2)                   # [B, n_mels, T]

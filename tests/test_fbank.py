@@ -146,3 +146,20 @@ def test_frontend_end_to_end_shapes():
     assert int(flens[0]) == 17
     # 48 fbank frames -> ceil(48/6) = 8
     assert int(flens[1]) == 8
+
+
+def test_whisper_log_mel_properties():
+    from ps_slm_tpu.ops.fbank import pad_or_trim, whisper_log_mel
+
+    rng = np.random.default_rng(5)
+    wav = jnp.asarray(rng.normal(size=(1, 32000)).astype(np.float32) * 0.1)
+    padded = pad_or_trim(wav)
+    assert padded.shape == (1, 480000)
+    mel = whisper_log_mel(padded, n_mels=128)
+    assert mel.shape == (1, 128, 3000)  # whisper frame count for 30 s
+    m = np.asarray(mel)
+    # dynamic range clamp: max - min <= 8/4 = 2 after (x+4)/4 scaling
+    assert m.max() - m.min() <= 2.0 + 1e-5
+    # trim path
+    long = jnp.asarray(rng.normal(size=(1, 500000)).astype(np.float32))
+    assert pad_or_trim(long).shape == (1, 480000)
