@@ -37,6 +37,15 @@ DEFAULT_BQ = 128
 DEFAULT_BK = 128
 
 
+def _compiler_params(dimension_semantics):
+    """Mark independent grid dims parallel so Mosaic pipelines them;
+    without this the whole grid executes fully serialized."""
+    try:
+        return pltpu.CompilerParams(dimension_semantics=dimension_semantics)
+    except TypeError:  # older field name
+        return pltpu.CompilerParams()
+
+
 def _interpret() -> bool:
     """Run kernels in interpreter mode off-TPU (CPU test mesh)."""
     try:
@@ -309,6 +318,7 @@ def _flash_fwd_impl(q, k, v, kv_start, kv_end, causal, scale, bq, bk):
             jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
             jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32),
         ],
+        compiler_params=_compiler_params(("parallel",) * 3 + ("arbitrary",)),
         interpret=_interpret(),
     )(kv_start, kv_end, q, k, v)
     return out, lse
@@ -349,6 +359,7 @@ def _flash_bwd(causal, scale, bq, bk, res, dout):
             scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
+        compiler_params=_compiler_params(("parallel",) * 3 + ("arbitrary",)),
         interpret=_interpret(),
     )(kv_start, kv_end, q, k, v, dout, lse, delta)
 
@@ -390,6 +401,9 @@ def _flash_bwd(causal, scale, bq, bk, res, dout):
             jax.ShapeDtypeStruct((b, hkv, t, d), k.dtype),
             jax.ShapeDtypeStruct((b, hkv, t, d), v.dtype),
         ],
+        compiler_params=_compiler_params(
+            ("parallel",) * 3 + ("arbitrary", "arbitrary")
+        ),
         interpret=_interpret(),
     )(kv_start, kv_end, q, k, v, dout, lse, delta)
 
