@@ -204,6 +204,10 @@ def compute_audio_embeds(
                     batch["gt_ids"], batch["gt_lens"],
                     vocab_size=model.enc_cfg.vocab_size,
                 )
+            # projector consumes the compute dtype (autocast parity)
+            enc_outs = enc_outs.astype(
+                params["llm"]["embed_tokens"].dtype
+            )
         else:
             if f.do_psd:
                 enc_outs, enc_lens = psd(
