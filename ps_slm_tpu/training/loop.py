@@ -111,7 +111,9 @@ def train(
             epoch_batches = 0
             with MemoryTrace() as mem:
                 pending = []  # async metrics; synced at log points only
-                for batch in train_batches_fn(epoch):
+                from ps_slm_tpu.data.prefetch import prefetch
+
+                for batch in prefetch(train_batches_fn(epoch), depth=2):
                     timer.start()
                     gbatch = to_device_batch(batch, mesh)
                     state, metrics = step_fn(state, gbatch, rng)
