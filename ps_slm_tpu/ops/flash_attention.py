@@ -74,10 +74,11 @@ def _fwd_kernel(
 
     q_first = qi * bq
     k_first = ki * bk
-    # static-shape causal prune: skip kv blocks strictly above the diagonal
-    should_run = True
+    # prune kv blocks entirely outside the valid window (padding) and, for
+    # causal attention, strictly above the diagonal — both static-shape safe
+    should_run = (k_first < kv_end_ref[b]) & (k_first + bk > kv_start_ref[b])
     if causal:
-        should_run = k_first <= q_first + bq - 1
+        should_run &= k_first <= q_first + bq - 1
 
     @pl.when(should_run)
     def _compute():
@@ -137,9 +138,9 @@ def _dq_kernel(
 
     q_first = qi * bq
     k_first = ki * bk
-    should_run = True
+    should_run = (k_first < kv_end_ref[b]) & (k_first + bk > kv_start_ref[b])
     if causal:
-        should_run = k_first <= q_first + bq - 1
+        should_run &= k_first <= q_first + bq - 1
 
     @pl.when(should_run)
     def _compute():
@@ -199,9 +200,9 @@ def _dkv_kernel(
 
     q_first = qi * bq
     k_first = ki * bk
-    should_run = True
+    should_run = (k_first < kv_end_ref[b]) & (k_first + bk > kv_start_ref[b])
     if causal:
-        should_run = k_first <= q_first + bq - 1
+        should_run &= k_first <= q_first + bq - 1
 
     @pl.when(should_run)
     def _compute():
