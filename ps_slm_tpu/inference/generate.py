@@ -321,17 +321,32 @@ def beam_generate(
     )[:, 0]
 
 
+def _merged_fn(model):
+    """Per-model jitted front half (encoder -> posterior -> PSD -> projector
+    -> merge).  Without this every op dispatches eagerly — ~1000 host
+    round-trips per batch on the relay backend."""
+    fn = getattr(model, "_merged_jit", None)
+    if fn is None:
+        from ps_slm_tpu.models.tasu import prepare_merged
+
+        @jax.jit
+        def fn(params, batch):
+            return prepare_merged(
+                model, params, batch, None,
+                left_padding=True, generate_mode=True,
+            )
+
+        model._merged_jit = fn
+    return fn
+
+
 def generate(
     model, params, batch: Dict[str, jnp.ndarray], **kwargs
 ) -> jnp.ndarray:
     """TASU generate (reference ps-slm.py:539-677): merge with LEFT padding,
     then beam (default 4) or greedy/sampled decode."""
-    from ps_slm_tpu.models.tasu import prepare_merged
-
-    merged = prepare_merged(
-        model, params, batch, kwargs.pop("rng", None),
-        left_padding=True, generate_mode=True,
-    )
+    kwargs.pop("rng", None)
+    merged = _merged_fn(model)(params, batch)
     num_beams = kwargs.pop("num_beams", 4)
     max_new_tokens = kwargs.pop("max_new_tokens", 200)
     eos = kwargs.pop("eos_token_id")
