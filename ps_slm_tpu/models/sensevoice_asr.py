@@ -91,6 +91,29 @@ def _prepend_queries(
     return jnp.concatenate([q, speech], axis=1), lens + 4
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "language", "textnorm", "ban_emo_unk"),
+)
+def _infer_device(
+    params, cfg, speech, speech_lens, language, textnorm, ban_emo_unk
+):
+    """Device half of standalone inference, one jitted program."""
+    x, lens = _prepend_queries(params, speech, speech_lens, language, textnorm)
+    hidden, out_lens = sv.encode(params, cfg, x, lens)
+    logits = sv.ctc_logits(params, hidden)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if ban_emo_unk:
+        log_probs = log_probs.at[:, :, EMO_DICT["unk"]].set(-jnp.inf)
+    token_ids, token_lens = ctc_greedy_decode(
+        log_probs, out_lens, blank=cfg.blank_id
+    )
+    return log_probs, out_lens, token_ids, token_lens
+
+
 def inference(
     params: Dict[str, Any],
     cfg: sv.SenseVoiceConfig,
@@ -106,15 +129,8 @@ def inference(
 ) -> List[Dict[str, Any]]:
     """Standalone rich-label ASR (SenseVoice.py:783-924)."""
     textnorm = "withitn" if use_itn else "woitn"
-    x, lens = _prepend_queries(params, speech, speech_lens, language, textnorm)
-    hidden, out_lens = sv.encode(params, cfg, x, lens)
-    logits = sv.ctc_logits(params, hidden)
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    if ban_emo_unk:
-        log_probs = log_probs.at[:, :, EMO_DICT["unk"]].set(-jnp.inf)
-
-    token_ids, token_lens = ctc_greedy_decode(
-        log_probs, out_lens, blank=cfg.blank_id
+    log_probs, out_lens, token_ids, token_lens = _infer_device(
+        params, cfg, speech, speech_lens, language, textnorm, ban_emo_unk
     )
     token_ids = np.asarray(token_ids)
     token_lens = np.asarray(token_lens)
