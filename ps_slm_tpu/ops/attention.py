@@ -50,19 +50,24 @@ def mha_reference(
 
     q: [B,S,Hq,D]; k,v: [B,T,Hkv,D]; kv_mask: [B,T] True=valid.
     causal: mask positions where kv_pos > q_pos + q_offset.
+
+    GQA uses a grouped einsum ([B,S,Hkv,rep,D] x [B,T,Hkv,D]) rather than
+    materializing replicated K/V — measured ~25% faster at 1.5B shapes
+    (docs/PERF.md).
     """
     b, s, hq, d = q.shape
     _, t, hkv, _ = k.shape
     n_rep = hq // hkv
-    k = _repeat_kv(k, n_rep)
-    v = _repeat_kv(v, n_rep)
     scale = scale if scale is not None else d ** -0.5
 
-    logits = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32) * scale
+    qg = q.reshape(b, s, hkv, n_rep, d)
+    logits = (
+        jnp.einsum("bskrd,btkd->bkrst", qg, k).astype(jnp.float32) * scale
+    )  # [B,Hkv,rep,S,T]
 
     mask = None
     if kv_mask is not None:
-        mask = kv_mask[:, None, None, :]  # [B,1,1,T]
+        mask = kv_mask[:, None, None, None, :]  # [B,1,1,1,T]
     if causal:
         q_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s, t), 1)
         if q_offset is not None:
@@ -70,7 +75,7 @@ def mha_reference(
             offset = jnp.broadcast_to(offset, (b,))
             q_pos = q_pos + offset[:, None, None]
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s, t), 2)
-        causal_mask = (kv_pos <= q_pos)[:, None, :, :]  # [B,1,S,T]
+        causal_mask = (kv_pos <= q_pos)[:, None, None, :, :]  # [B,1,1,S,T]
         mask = causal_mask if mask is None else jnp.logical_and(mask, causal_mask)
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
@@ -79,8 +84,8 @@ def mha_reference(
     if mask is not None:
         # rows that are fully masked produce uniform softmax; zero them out
         probs = jnp.where(mask, probs, 0.0)
-    out = jnp.einsum("bhst,bthd->bshd", probs.astype(v.dtype), v)
-    return out.astype(q.dtype)
+    out = jnp.einsum("bkrst,btkd->bskrd", probs.astype(v.dtype), v)
+    return out.reshape(b, s, hq, d).astype(q.dtype)
 
 
 @functools.partial(
