@@ -81,9 +81,17 @@ def main(argv=None):
         loaded = ckpt.import_reference_checkpoint(model, cfg.ckpt_path, dtype)
         logger.info(f"loaded {len(loaded)} tensors from {cfg.ckpt_path}")
 
+    if cfg.debug:
+        import pdb
+
+        pdb.set_trace()
+
     mesh = meshlib.build_mesh(tc.mesh_shape)
     model.params = meshlib.shard_params(model.params, mesh, tc.fsdp_min_size)
     trainable = trainable_mask(model, tc)
+    from ps_slm_tpu.utils.logging import log_model_size
+
+    log_model_size(logger, model, trainable)
     tx, _ = build_optimizer(tc, trainable)
     state = create_train_state(model.params, tx, trainable)
 

@@ -79,3 +79,33 @@ class MetricLogger:
             self._wandb.finish()
         if self._fh is not None:
             self._fh.close()
+
+
+def count_params(tree) -> int:
+    import numpy as np
+
+    return int(sum(
+        np.prod(getattr(l, "shape", ()) or (1,))
+        for l in __import__("jax").tree_util.tree_leaves(tree)
+    ))
+
+
+def log_model_size(logger, model, trainable=None) -> None:
+    """Per-module parameter counts (reference print_model_size /
+    print_module_size, utils/model_utils.py:36-65)."""
+    import jax
+
+    for name, sub in model.params.items():
+        n = count_params(sub)
+        msg = f"module {name}: {n / 1e6:.2f}M params"
+        if trainable is not None:
+            nt = int(sum(
+                count_params(l)
+                for l, m in zip(
+                    jax.tree_util.tree_leaves(sub),
+                    jax.tree_util.tree_leaves(trainable[name]),
+                )
+                if m
+            ))
+            msg += f" ({nt / 1e6:.2f}M trainable)"
+        logger.info(msg)
