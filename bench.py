@@ -73,9 +73,11 @@ def main():
         )
         batch, frames = 2, 64
 
+    quant = os.environ.get("PS_BENCH_QUANT") == "1"  # int8 frozen LLM variant
     tc = TrainConfig(
         ctc_posterior=True, do_psd=True, freeze_llm=True, freeze_encoder=True,
         lr=5e-5, warmup_steps=200, total_steps=15000, remat=False,
+        quantization=quant,
     )
     mc = ModelConfig(
         llm_path="", encoder_path=None, encoder_projector="linear-silu",

@@ -110,6 +110,7 @@ def main(argv=None):
             dc, tokenizer, "train", encoder_tokenizer=encoder_tokenizer,
             num_hosts=num_hosts, host_id=host_id,
             fixed_batch_size=fixed_bs,
+            seed=tc.seed + epoch,  # fresh prompt draws per epoch
         ))
 
     eval_batches = None

@@ -352,16 +352,19 @@ class GlobalBatcher:
 def get_speech_dataset(
     dataset_config, tokenizer, split: str, encoder_tokenizer=None,
     num_hosts: int = 1, host_id: int = 0, load_audio: bool = True,
-    fixed_batch_size: Optional[int] = None,
+    fixed_batch_size: Optional[int] = None, seed: int = 42,
 ):
     """Reference ``get_speech_dataset`` (speech_dataset_large.py:340-346).
 
     ``fixed_batch_size`` selects the "padding" batching strategy
     (utils/config_utils.py:75-84); None = token-budget dynamic batching.
+    ``seed`` controls prompt choice; pass seed+epoch for fresh prompt draws
+    per epoch (all hosts must agree for deterministic global batching).
     """
     ds = MultiTaskDataset(
         dataset_config, tokenizer, split,
         encoder_tokenizer=encoder_tokenizer, load_audio=load_audio,
+        seed=seed,
     )
     inference = split == "test" or dataset_config.inference_mode
     coll = Collator(tokenizer, dataset_config, inference)
