@@ -87,6 +87,7 @@ def main(argv=None):
         pdb.set_trace()
 
     mesh = meshlib.build_mesh(tc.mesh_shape)
+    model.mesh = mesh if len(jax.devices()) > 1 else None
     model.params = meshlib.shard_params(model.params, mesh, tc.fsdp_min_size)
     trainable = trainable_mask(model, tc)
     from ps_slm_tpu.utils.logging import log_model_size

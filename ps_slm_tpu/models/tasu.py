@@ -102,6 +102,8 @@ class TasuModel:
     remat: bool = False
     cmvn: Optional[tuple] = None     # (neg_mean, inv_std) for on-device CMVN
     fbank_cfg: Any = None            # FbankConfig for the on-device front end
+    mesh: Any = None                 # set for multi-device runs: batch-dim
+                                     # sharding constraints on merged tensors
 
 
 # ----------------------------------------------------------------------------
@@ -286,7 +288,7 @@ def prepare_merged(
         model, params, batch, rng, generate_mode=generate_mode
     )
     inputs_embeds = qwen2.embed(params["llm"], batch["input_ids"])
-    return merge_audio_text(
+    merged = merge_audio_text(
         audio_embeds.astype(inputs_embeds.dtype),
         audio_lens,
         inputs_embeds,
@@ -298,6 +300,22 @@ def prepare_merged(
         pad_token_id=model.pad_token_id,
         left_padding=left_padding,
     )
+    if model.mesh is not None:
+        # keep the merged tensors batch-sharded: without the constraint GSPMD
+        # falls back to involuntary full rematerialization around the scatter
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def bsharded(x):
+            if x is None:
+                return None
+            spec = [None] * x.ndim
+            spec[0] = ("data", "fsdp")
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(model.mesh, P(*spec))
+            )
+
+        merged = Merged(*(bsharded(f) for f in merged))
+    return merged
 
 
 def forward(
