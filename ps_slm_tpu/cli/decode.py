@@ -91,6 +91,11 @@ def main(argv=None):
                 eos_token_id=tokenizer.eos_token_id,
                 num_beams=tc.num_beams,
                 max_new_tokens=tc.max_new_tokens,
+                do_sample=tc.do_sample,
+                min_length=tc.min_length,
+                top_p=tc.top_p,
+                temperature=tc.temperature,
+                length_penalty=tc.length_penalty,
             )
             out = np.asarray(out)
             timer.stop(_audio_secs(batch))

@@ -140,9 +140,15 @@ class TrainConfig:
     mesh_shape: Optional[dict] = None     # e.g. {"data": 4, "fsdp": 2}; None = all "data"
     fsdp_min_size: int = 2 ** 16          # only shard params at least this big
     remat: bool = False                   # jax.checkpoint on transformer blocks
-    # decode bucketing
+    # decode settings (HF generate kwargs surface, ps-slm.py:660-675)
     max_new_tokens: int = 200
     num_beams: int = 4
+    do_sample: bool = False
+    min_length: int = 1
+    top_p: float = 1.0
+    repetition_penalty: float = 1.0
+    length_penalty: float = 1.0
+    temperature: float = 1.0
 
 
 @dataclass
