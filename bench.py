@@ -28,7 +28,7 @@ import numpy as np
 A100_EQUIV_TARGET = 6 * 60.0  # audio-sec/sec/chip; see module docstring
 
 # keep bench reproducible & bounded
-BATCH = 6
+BATCH = 4
 FRAMES = 512            # encoder frames per utterance (~30.7 s audio)
 TEXT_LEN = 32
 STEPS = 5

@@ -33,8 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
-DEFAULT_BQ = 128
-DEFAULT_BK = 128
+# 512-blocks measured 3.4x faster than 128 at 4096 tokens (docs/PERF.md);
+# the wrapper clamps blocks to the padded sequence length for short inputs.
+DEFAULT_BQ = 512
+DEFAULT_BK = 512
 
 
 def _compiler_params(dimension_semantics):
@@ -433,6 +435,9 @@ def flash_attention(
     b, s, hq, d = q.shape
     t = k.shape[1]
     scale = scale if scale is not None else d ** -0.5
+    # clamp blocks: no bigger than the 128-padded sequence
+    block_q = min(block_q, max(-(-s // 128) * 128, 128))
+    block_k = min(block_k, max(-(-t // 128) * 128, 128))
 
     kv_start, kv_end = _window_from_mask(kv_mask, b, t)
 

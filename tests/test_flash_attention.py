@@ -91,3 +91,16 @@ def test_unpadded_seq_lengths():
         q, k, v, kv_mask=kv_mask, causal=True, block_q=16, block_k=16
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_default_blocks_clamp_to_short_sequences():
+    """Default 512-blocks must clamp for short inputs."""
+    b, s, h, d = 1, 40, 2, 32
+    keys = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = _rand((b, s, h, d), keys[0])
+    k = _rand((b, s, h, d), keys[1])
+    v = _rand((b, s, h, d), keys[2])
+    mask = jnp.ones((b, s), bool)
+    ref = mha_reference(q, k, v, kv_mask=mask, causal=True)
+    out = flash_attention(q, k, v, kv_mask=mask, causal=True)  # defaults
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
