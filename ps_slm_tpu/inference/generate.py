@@ -194,15 +194,19 @@ def beam_generate(
     capacity = s + max_new_tokens
     dtype = params["embed_tokens"].dtype
 
-    # tile inputs to [B*bm, ...]
+    # prefill ONCE at batch B, then tile cache/mask to B*bm beams (the
+    # reference's HF generate re-runs the prefill per beam)
     def tile(x):
         return jnp.repeat(x, bm, axis=0)
 
     logits, cache, full_mask = _prefill(
-        params, cfg,
-        tile(inputs_embeds), tile(attention_mask), tile(position_ids),
+        params, cfg, inputs_embeds, attention_mask, position_ids,
         capacity, dtype,
     )
+    cache = {"k": jnp.repeat(cache["k"], bm, axis=1),
+             "v": jnp.repeat(cache["v"], bm, axis=1)}
+    full_mask = tile(full_mask)
+    logits = tile(logits)
     next_pos0 = tile(position_ids[:, -1] + 1)  # [B*bm]
     vocab = logits.shape[-1]
 
