@@ -123,16 +123,16 @@ def attention(
 def _flash_eligible(q, k, q_offset) -> bool:
     """Auto-select the Pallas flash kernel only where it wins.
 
-    Measured on v5e (docs/PERF.md): at T<=640 XLA's fused attention is
-    2-20x faster than the Pallas kernel (grid overhead dominates tiny
-    per-program work), while flash's O(T) memory only matters for long
-    sequences.  Threshold chosen where the S^2 score matrix starts to hurt.
+    Measured fwd+bwd on v5e (docs/PERF.md): XLA's fused attention wins
+    below ~1024 tokens (grid overhead dominates tiny per-program work);
+    the Pallas kernel wins above (2.8x at 2048, 4.4x fwd at 4096) and its
+    O(T) memory avoids the S^2 score matrix.
     """
     if q_offset is not None:
         return False
     if q.shape[1] != k.shape[1]:
         return False
-    if q.shape[1] < 2048 or q.shape[3] % 128 != 0:
+    if q.shape[1] < 1024 or q.shape[3] % 128 != 0:
         return False
     try:
         return jax.devices()[0].platform == "tpu"
