@@ -114,9 +114,11 @@ def main(argv=None):
                 fgt.write(f"{key}\t{target}\n")
 
     rtf_inv = timer.audio_sec_per_sec
+    toks_per_sec = n_tokens / max(sum(timer._times), 1e-9)
     logger.info(
         f"decode done: {pred_path}; {rtf_inv:.1f} audio-s/s "
-        f"(RTF {1.0 / rtf_inv if rtf_inv else float('inf'):.4f})"
+        f"(RTF {1.0 / rtf_inv if rtf_inv else float('inf'):.4f}), "
+        f"{toks_per_sec:.1f} tokens/s"
     )
     return 0
 

@@ -279,12 +279,6 @@ def _linear(x, p):
     return y
 
 
-def _layer_slice(layers: Params, l_or_none) -> Params:
-    if l_or_none is None:
-        return layers
-    return jax.tree_util.tree_map(lambda a: a[l_or_none], layers)
-
-
 def _block(
     lp: Params,
     cfg: Qwen2Config,

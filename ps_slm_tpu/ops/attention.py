@@ -25,16 +25,6 @@ import jax.numpy as jnp
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
-    """[B,T,Hkv,D] -> [B,T,Hkv*n_rep,D] (GQA head replication)."""
-    if n_rep == 1:
-        return x
-    b, t, h, d = x.shape
-    return jnp.broadcast_to(x[:, :, :, None, :], (b, t, h, n_rep, d)).reshape(
-        b, t, h * n_rep, d
-    )
-
-
 def mha_reference(
     q: jnp.ndarray,
     k: jnp.ndarray,
