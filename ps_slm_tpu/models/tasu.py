@@ -336,27 +336,21 @@ def forward(
         position_ids=merged.position_ids,
         use_flash=model.use_flash, remat=model.remat,
     )
-    logits = qwen2.unembed(params["llm"], hidden)  # fp32 [B,T,V]
 
     labels = merged.labels
-    shift_logits = logits[:, :-1]
-    shift_labels = labels[:, 1:]
-    valid = shift_labels != IGNORE_ID
     if "batch_valid" in batch:
         # padded rows from deterministic global batching contribute nothing
-        valid = valid & batch["batch_valid"][:, None]
-    safe_labels = jnp.where(valid, shift_labels, 0)
-    logp = jax.nn.log_softmax(shift_logits, axis=-1)
-    token_ll = jnp.take_along_axis(
-        logp, safe_labels[..., None], axis=-1
-    )[..., 0]
-    ntok = jnp.maximum(jnp.sum(valid), 1)
-    loss = -jnp.sum(jnp.where(valid, token_ll, 0.0)) / ntok
+        labels = jnp.where(batch["batch_valid"][:, None], labels, IGNORE_ID)
 
-    preds = jnp.argmax(shift_logits, axis=-1)
-    acc = jnp.sum((preds == shift_labels) & valid) / ntok
+    from ps_slm_tpu.ops.ce_loss import chunked_ce_loss
 
-    return loss, {"acc": acc, "ntokens": jnp.sum(valid)}
+    w = params["llm"].get("lm_head")
+    if w is None:
+        w = params["llm"]["embed_tokens"].T
+    loss, acc, ntok = chunked_ce_loss(
+        hidden, w, labels, ignore_id=IGNORE_ID
+    )
+    return loss, {"acc": acc, "ntokens": ntok}
 
 
 # ----------------------------------------------------------------------------
