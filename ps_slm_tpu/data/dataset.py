@@ -169,9 +169,13 @@ class MultiTaskDataset:
             labels = None
 
         if self.encoder_tokenizer is not None:
-            gt_text = gt
             if self.inference_mode:
-                gt_text = GT_NORM_RE.sub("", gt).lower().strip()
+                # generate path uses the regex-normalized *target*
+                # (ps-slm.py:592-594 over the `targets` kwarg)
+                gt_text = GT_NORM_RE.sub("", target).lower().strip()
+            else:
+                # training path feeds raw GT text (ps-slm.py:461)
+                gt_text = gt
             gt_ids = np.asarray(
                 self.encoder_tokenizer.encode(gt_text), np.int32
             )
