@@ -33,6 +33,9 @@ def _psd_row(
     blank_id: int,
     blank_threshold: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Segment reductions expressed as one-hot matmuls: TPU scatters
+    serialize badly at [T, 25k]-row granularity while a [T,T]x[T,D] matmul
+    rides the MXU (orders of magnitude faster at CTC-vocab widths)."""
     t, d = feats.shape
     pos = jnp.arange(t)
     valid = pos < length
@@ -46,14 +49,18 @@ def _psd_row(
     seg_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1    # [T], 0-based
     seg_id = jnp.where(valid, seg_id, t)                    # dump invalid
 
-    ones = valid.astype(jnp.float32)
-    seg_count = jax.ops.segment_sum(ones, seg_id, num_segments=t + 1)[:t]
-    seg_feat = jax.ops.segment_sum(
-        feats.astype(jnp.float32) * ones[:, None], seg_id, num_segments=t + 1
-    )[:t]
-    seg_blank = jax.ops.segment_sum(
-        blank_prob.astype(jnp.float32) * ones, seg_id, num_segments=t + 1
-    )[:t]
+    # frame -> segment assignment matrix [T(frames), T(segments)]
+    assign = (
+        (seg_id[:, None] == pos[None, :]) & valid[:, None]
+    ).astype(jnp.float32)
+
+    seg_count = jnp.sum(assign, axis=0)                     # [T]
+    seg_feat = jax.lax.dot_general(
+        assign, feats.astype(jnp.float32),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [T, D]
+    seg_blank = assign.T @ blank_prob.astype(jnp.float32)
 
     denom = jnp.maximum(seg_count, 1.0)
     seg_mean = seg_feat / denom[:, None]
@@ -64,8 +71,9 @@ def _psd_row(
     dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
     dest = jnp.where(keep, dest, t)                         # OOB => dropped
 
-    out = jnp.zeros((t, d), feats.dtype)
-    out = out.at[dest].set(seg_mean.astype(feats.dtype), mode="drop")
+    # compaction as a gather matrix [T(out), T(segments)]
+    gather = (dest[None, :] == pos[:, None]).astype(jnp.float32)
+    out = (gather @ seg_mean).astype(feats.dtype)
     new_len = jnp.sum(keep.astype(jnp.int32))
     return out, new_len
 
