@@ -20,7 +20,7 @@ binding surface.
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 _WS = "▁"  # sentencepiece whitespace marker
 

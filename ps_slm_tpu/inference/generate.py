@@ -19,7 +19,7 @@ max_new_tokens) triple.
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

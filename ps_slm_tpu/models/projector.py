@@ -22,7 +22,6 @@ axis is processed in chunks with an online softmax so memory stays bounded.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Any, Dict, Optional
 

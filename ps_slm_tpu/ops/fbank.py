@@ -25,7 +25,6 @@ CMVN (funasr apply_cmvn, Kaldi am.mvn): x := (x + neg_mean) * inv_stddev.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax

@@ -23,7 +23,7 @@ from __future__ import annotations
 import re
 import sys
 import unicodedata
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 
 def _is_cjk(ch: str) -> bool:

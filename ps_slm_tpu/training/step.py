@@ -15,11 +15,9 @@ weights) sit outside autodiff entirely, exactly like requires_grad=False.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 from ps_slm_tpu.models import tasu
 from ps_slm_tpu.training.train_state import (
