@@ -45,7 +45,9 @@ def add_lora(llm_params: Params, peft_cfg, key, dtype=jnp.float32) -> Params:
         if target is None or target not in layers:
             continue
         node = dict(layers[target])
-        kernel = node["kernel"]  # [L, in, out]
+        # base weight may be fp ("kernel") or int8-quantized ("q8"); both
+        # are [L, in, out]
+        kernel = node["kernel"] if "kernel" in node else node["q8"]
         L, d_in, d_out = kernel.shape
         bound = math.sqrt(3.0) / math.sqrt(d_in)  # kaiming uniform a=sqrt(5)
         node["lora_a"] = jax.random.uniform(

@@ -80,3 +80,69 @@ def test_dequantize_llm_restores_kernels():
     assert "kernel" in d["layers"]["q_proj"]
     assert d["layers"]["q_proj"]["kernel"].shape == \
         params["layers"]["q_proj"]["kernel"].shape
+
+
+def test_qlora_training_only_moves_adapters():
+    """int8-frozen LLM + LoRA: training updates adapters only, loss drops."""
+    import numpy as np
+    from ps_slm_tpu.config import ModelConfig, TrainConfig
+    from ps_slm_tpu.models.tasu import model_factory, trainable_mask
+    from ps_slm_tpu.training.step import make_train_step
+    from ps_slm_tpu.training.train_state import (
+        build_optimizer, create_train_state,
+    )
+
+    tc = TrainConfig(
+        ctc_posterior=True, gt_emb=True, quantization=True, use_peft=True,
+        freeze_llm=True, freeze_encoder=True, freeze_projector=True,
+        lr=5e-3, warmup_steps=1, total_steps=50,
+    )
+    mc = ModelConfig(
+        llm_path="", encoder_path=None, encoder_projector="linear-silu",
+        encoder_dim=11, llm_dim=64, encoder_projector_ds_rate=1,
+    )
+    model = model_factory(tc, mc, rng=jax.random.PRNGKey(0))
+    model.speech_token_id = 250
+    model.use_flash = False
+    assert "q8" in model.params["llm"]["layers"]["q_proj"]
+    assert "lora_a" in model.params["llm"]["layers"]["q_proj"]
+
+    q8_before = np.asarray(
+        model.params["llm"]["layers"]["q_proj"]["q8"]
+    ).copy()
+    lora_b_before = np.asarray(
+        model.params["llm"]["layers"]["q_proj"]["lora_b"]
+    ).copy()
+    proj_before = np.asarray(model.params["projector"]["ffn1"]["kernel"]).copy()
+
+    rng = np.random.default_rng(0)
+    b, s = 2, 10
+    ids = rng.integers(1, 200, size=(b, s)).astype(np.int32)
+    ids[:, 3] = 250
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((b, s), bool),
+        "labels": jnp.asarray(np.where(np.arange(s)[None] < 5, -100, ids)),
+        "gt_ids": jnp.asarray(rng.integers(1, 11, size=(b, 6)).astype(np.int32)),
+        "gt_lens": jnp.asarray([6, 4]),
+    }
+    trainable = trainable_mask(model, tc)
+    tx, _ = build_optimizer(tc, trainable)
+    state = create_train_state(model.params, tx, trainable)
+    step = make_train_step(model, tx, trainable)
+    losses = []
+    for _ in range(15):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    np.testing.assert_array_equal(
+        np.asarray(state.params["llm"]["layers"]["q_proj"]["q8"]), q8_before
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.params["projector"]["ffn1"]["kernel"]), proj_before
+    )
+    assert not np.allclose(
+        np.asarray(state.params["llm"]["layers"]["q_proj"]["lora_b"]),
+        lora_b_before,
+    )
