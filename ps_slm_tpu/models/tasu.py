@@ -352,7 +352,7 @@ def forward(
     # small, saves gigabytes when they are not)
     b_, t_ = labels.shape
     logits_bytes = b_ * t_ * w.shape[-1] * 4
-    if logits_bytes > 2 * 2 ** 30:
+    if logits_bytes > 3 * 2 ** 29:  # 1.5 GB
         from ps_slm_tpu.ops.ce_loss import chunked_ce_loss
 
         loss, acc, ntok = chunked_ce_loss(
