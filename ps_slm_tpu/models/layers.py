@@ -13,7 +13,15 @@ def layer_norm(x: jnp.ndarray, weight, bias, eps: float = 1e-5) -> jnp.ndarray:
     Reference policy: the encoder always runs LN in fp32
     (``SenseVoice.py:270-282``) and the composite model patches every
     ``nn.LayerNorm`` the same way under DeepSpeed (``ps-slm.py:223-235``).
+
+    On TPU with lane-aligned dims this dispatches to the fused Pallas kernel
+    (ops/norms.py) — one HBM pass instead of fp32-cast materialization.
     """
+    if weight is not None and bias is not None:
+        from ps_slm_tpu.ops.norms import fused_layer_norm, norms_eligible
+
+        if norms_eligible(x.shape[-1]):
+            return fused_layer_norm(x, weight, bias, eps)
     dtype = x.dtype
     x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)

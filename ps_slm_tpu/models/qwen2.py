@@ -242,7 +242,13 @@ def params_to_hf(params: Params, cfg: Qwen2Config) -> Dict[str, np.ndarray]:
 # ----------------------------------------------------------------------------
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """RMSNorm with fp32 statistics (HF Qwen2RMSNorm semantics)."""
+    """RMSNorm with fp32 statistics (HF Qwen2RMSNorm semantics).
+
+    Dispatches to the fused Pallas kernel on TPU (ops/norms.py)."""
+    from ps_slm_tpu.ops.norms import fused_rms_norm, norms_eligible
+
+    if norms_eligible(x.shape[-1]):
+        return fused_rms_norm(x, weight, eps)
     dtype = x.dtype
     x = x.astype(jnp.float32)
     var = jnp.mean(x * x, axis=-1, keepdims=True)
