@@ -83,8 +83,12 @@ def _ln_bwd_kernel(
     m2 = jnp.mean(gw * xhat, axis=-1, keepdims=True)
     dx = (gw - m1 - xhat * m2) * rs_ref[:]
     dx_ref[:] = dx.astype(dx_ref.dtype)
-    dw_ref[:] = jnp.sum(g * xhat, axis=0, keepdims=True)
-    db_ref[:] = jnp.sum(g, axis=0, keepdims=True)
+    # partial sums live in row 0 of an 8-row block (TPU min sublane tile)
+    row0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, d), 0) == 0
+    ).astype(jnp.float32)
+    dw_ref[:] = row0 * jnp.sum(g * xhat, axis=0, keepdims=True)
+    db_ref[:] = row0 * jnp.sum(g, axis=0, keepdims=True)
 
 
 def _rms_bwd_kernel(
@@ -98,7 +102,10 @@ def _rms_bwd_kernel(
     m = jnp.mean(gw * xhat, axis=-1, keepdims=True)
     dx = (gw - xhat * m) * rs_ref[:]
     dx_ref[:] = dx.astype(dx_ref.dtype)
-    dw_ref[:] = jnp.sum(g * xhat, axis=0, keepdims=True)
+    row0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, d), 0) == 0
+    ).astype(jnp.float32)
+    dw_ref[:] = row0 * jnp.sum(g * xhat, axis=0, keepdims=True)
 
 
 # ----------------------------------------------------------------------------
@@ -185,13 +192,13 @@ def _ln_vjp_bwd(eps, res, g):
         out_specs=[
             pl.BlockSpec((BLOCK_ROWS, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, d), x.dtype),
-            jax.ShapeDtypeStruct((nb, d), jnp.float32),
-            jax.ShapeDtypeStruct((nb, d), jnp.float32),
+            jax.ShapeDtypeStruct((nb * 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((nb * 8, d), jnp.float32),
         ],
         compiler_params=_cp(("parallel",)),
         interpret=_interpret(),
@@ -266,11 +273,11 @@ def _rms_vjp_bwd(eps, res, g):
         out_specs=[
             pl.BlockSpec((BLOCK_ROWS, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, d), x.dtype),
-            jax.ShapeDtypeStruct((nb, d), jnp.float32),
+            jax.ShapeDtypeStruct((nb * 8, d), jnp.float32),
         ],
         compiler_params=_cp(("parallel",)),
         interpret=_interpret(),
