@@ -291,7 +291,18 @@ fused_rms_norm.defvjp(_rms_vjp_fwd, _rms_vjp_bwd)
 
 
 def norms_eligible(d: int) -> bool:
-    """Use the fused kernels on TPU with lane-aligned feature dims."""
+    """Fused-norm auto-dispatch gate.
+
+    Measured END-TO-END the Pallas norms are ~5% slower than the jnp path
+    (924 -> 874 audio-sec/s/chip): the pallas_call boundary blocks XLA from
+    fusing the norm into neighboring producers/consumers, costing more than
+    the saved fp32 materialization.  Kept as opt-in (PS_FUSED_NORMS=1) for
+    shapes/workloads where the fusion trade-off flips; default off.
+    """
+    import os
+
+    if os.environ.get("PS_FUSED_NORMS") != "1":
+        return False
     if d % 128 != 0:
         return False
     try:
