@@ -288,6 +288,15 @@ def prepare_merged(
         model, params, batch, rng, generate_mode=generate_mode
     )
     inputs_embeds = qwen2.embed(params["llm"], batch["input_ids"])
+    if model.mesh is not None:
+        # constrain the merge *inputs* to batch-sharded / feature-replicated:
+        # with a TP-sharded embedding table the lookup output arrives
+        # feature-sharded over 'tensor', and letting the scatter run in that
+        # layout forces GSPMD into involuntary full rematerialization when
+        # resharding its result; resharding the small [B,S,E]/[B,A,E] inputs
+        # first keeps the scatter batch-local
+        audio_embeds = _batch_sharded(audio_embeds, model.mesh)
+        inputs_embeds = _batch_sharded(inputs_embeds, model.mesh)
     merged = merge_audio_text(
         audio_embeds.astype(inputs_embeds.dtype),
         audio_lens,
@@ -301,21 +310,21 @@ def prepare_merged(
         left_padding=left_padding,
     )
     if model.mesh is not None:
-        # keep the merged tensors batch-sharded: without the constraint GSPMD
-        # falls back to involuntary full rematerialization around the scatter
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        def bsharded(x):
-            if x is None:
-                return None
-            spec = [None] * x.ndim
-            spec[0] = ("data", "fsdp")
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(model.mesh, P(*spec))
-            )
-
-        merged = Merged(*(bsharded(f) for f in merged))
+        # keep the merged tensors batch-sharded (no-op when the inputs were
+        # constrained above, but pins the layout for downstream consumers)
+        merged = Merged(
+            *(None if f is None else _batch_sharded(f, model.mesh)
+              for f in merged)
+        )
     return merged
+
+
+def _batch_sharded(x: jnp.ndarray, mesh) -> jnp.ndarray:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = [None] * x.ndim
+    spec[0] = ("data", "fsdp")
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
 def forward(

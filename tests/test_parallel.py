@@ -115,7 +115,6 @@ def test_padded_global_batching_no_contribution():
     # (gt_emb_noise draws per-batch-shape, so compare with noise off)
     tc2 = TrainConfig(**{**tc.__dict__, "gt_emb_noise": False})
     from ps_slm_tpu.models.tasu import TasuFlags
-    object.__setattr__  # noqa
     model.flags = TasuFlags.from_train_config(tc2)
     loss5b, _ = forward(
         model, model.params,
@@ -128,6 +127,17 @@ def test_padded_global_batching_no_contribution():
         jax.random.PRNGKey(3),
     )
     np.testing.assert_allclose(float(loss5b), float(loss8b), rtol=1e-5)
+
+
+def test_no_involuntary_remat_on_tp_mesh(capfd):
+    """The dp x fsdp x tp training step must compile without GSPMD falling
+    back to involuntary full rematerialization in the merge/scatter path
+    (spmd_partitioner.cc warning).  Runs the exact driver dryrun config."""
+    import __graft_entry__ as ge
+
+    ge._dryrun_multichip_impl(8)
+    err = capfd.readouterr().err
+    assert "rematerialization" not in err, err
 
 
 def test_tensor_parallel_sharding_and_step():
