@@ -96,6 +96,7 @@ def main(argv=None):
                 top_p=tc.top_p,
                 temperature=tc.temperature,
                 length_penalty=tc.length_penalty,
+                repetition_penalty=tc.repetition_penalty,
             )
             out = np.asarray(out)
             timer.stop(_audio_secs(batch))

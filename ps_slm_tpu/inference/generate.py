@@ -171,7 +171,7 @@ def greedy_generate(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "eos_token_id", "num_beams",
-        "length_penalty", "min_length",
+        "length_penalty", "min_length", "repetition_penalty",
     ),
 )
 def beam_generate(
@@ -186,9 +186,14 @@ def beam_generate(
     num_beams: int = 4,
     length_penalty: float = 1.0,
     min_length: int = 1,
+    repetition_penalty: float = 1.0,
 ) -> jnp.ndarray:
-    """Beam search (HF semantics: expand 2*beams, bank EOS hypotheses,
-    length-penalized selection). Returns [B, max_new_tokens]."""
+    """Beam search (HF semantics: expand 2*beams, bank EOS hypotheses only
+    when ranked within the top num_beams, length-penalized selection over
+    generated length incl. EOS). Returns [B, max_new_tokens].
+
+    ``repetition_penalty`` follows HF beam search, which applies the penalty
+    to the log-softmax scores over each beam's generated-so-far tokens."""
     b, s, h = inputs_embeds.shape
     bm = num_beams
     capacity = s + max_new_tokens
@@ -221,6 +226,13 @@ def beam_generate(
     scores = top_val                                         # [B, bm]
     beam_done = top_tok == eos_token_id                      # [B, bm]
 
+    use_rep = repetition_penalty != 1.0
+    seen = jnp.zeros((b, bm, vocab), bool)
+    if use_rep:
+        seen = seen.at[
+            jnp.arange(b)[:, None], jnp.arange(bm)[None], top_tok
+        ].set(True)
+
     # finished-hypothesis bank
     fin_seqs = jnp.full((b, bm, max_new_tokens), eos_token_id, jnp.int32)
     fin_scores = jnp.full((b, bm), NEG_INF, jnp.float32)
@@ -251,7 +263,7 @@ def beam_generate(
     tokens = top_tok.reshape(b * bm)
 
     def body(t, state):
-        cache, full_mask, seqs, scores, tokens, fin = state
+        cache, full_mask, seqs, scores, tokens, seen, fin = state
         fin_seqs, fin_scores, fin_valid = fin
         index = s + t - 1
         full_mask = jax.lax.dynamic_update_slice(
@@ -263,6 +275,13 @@ def beam_generate(
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logp = logp.reshape(b, bm, vocab)
+        if use_rep:
+            # HF applies the penalty to log-softmax scores in beam search
+            penalized = jnp.where(
+                logp > 0, logp / repetition_penalty,
+                logp * repetition_penalty,
+            )
+            logp = jnp.where(seen, penalized, logp)
         if min_length > 1:
             logp = jnp.where(
                 (t < min_length - 1)
@@ -278,19 +297,29 @@ def beam_generate(
         g = jnp.take_along_axis
         cand_seqs = g(seqs, src_beam[:, :, None], axis=1)     # [B, 2bm, L]
         cand_seqs = cand_seqs.at[:, :, t].set(tok)
-        newly = tok == eos_token_id
+        is_eos = tok == eos_token_id
+        # HF banks an EOS candidate only when it ranks within the top
+        # num_beams of the 2*num_beams expansion (BeamSearchScorer.process:
+        # is_beam_token_worse_than_top_num_beams)
+        newly = is_eos & (jnp.arange(2 * bm)[None] < bm)
         lp = ((t + 1) ** length_penalty)
         fin_seqs, fin_scores, fin_valid = bank(
             fin_seqs, fin_scores, fin_valid, cand_seqs, top / lp, newly
         )
 
         # keep the best bm non-finished candidates alive
-        alive_scores = jnp.where(newly, NEG_INF, top)
+        alive_scores = jnp.where(is_eos, NEG_INF, top)
         keep, kidx = jax.lax.top_k(alive_scores, bm)          # [B, bm]
         seqs = g(cand_seqs, kidx[:, :, None], axis=1)
         scores = keep
         beam_src = g(src_beam, kidx, axis=1)                  # [B, bm]
-        tokens = g(tok, kidx, axis=1).reshape(b * bm)
+        new_tok = g(tok, kidx, axis=1)                        # [B, bm]
+        tokens = new_tok.reshape(b * bm)
+        if use_rep:
+            seen = g(seen, beam_src[:, :, None], axis=1)
+            seen = seen.at[
+                jnp.arange(b)[:, None], jnp.arange(bm)[None], new_tok
+            ].set(True)
 
         # reorder the cache rows by beam source
         flat_src = (
@@ -300,16 +329,16 @@ def beam_generate(
             "k": cache["k"][:, flat_src],
             "v": cache["v"][:, flat_src],
         }
-        return cache, full_mask, seqs, scores, tokens, (
+        return cache, full_mask, seqs, scores, tokens, seen, (
             fin_seqs, fin_scores, fin_valid
         )
 
     state = (
-        cache, full_mask, seqs, scores, tokens,
+        cache, full_mask, seqs, scores, tokens, seen,
         (fin_seqs, fin_scores, fin_valid),
     )
     state = jax.lax.fori_loop(1, max_new_tokens, body, state)
-    _, _, seqs, scores, _, (fin_seqs, fin_scores, fin_valid) = state
+    _, _, seqs, scores, _, _, (fin_seqs, fin_scores, fin_valid) = state
 
     # unfinished beams compete with banked ones at full length
     lp_full = (max_new_tokens ** length_penalty)
@@ -354,6 +383,7 @@ def generate(
     num_beams = kwargs.pop("num_beams", 4)
     max_new_tokens = kwargs.pop("max_new_tokens", 200)
     eos = kwargs.pop("eos_token_id")
+    repetition_penalty = kwargs.pop("repetition_penalty", 1.0)
     if num_beams > 1:
         return beam_generate(
             params["llm"], model.llm_cfg,
@@ -362,6 +392,7 @@ def generate(
             num_beams=num_beams,
             length_penalty=kwargs.pop("length_penalty", 1.0),
             min_length=kwargs.pop("min_length", 1),
+            repetition_penalty=repetition_penalty,
         )
     return greedy_generate(
         params["llm"], model.llm_cfg,
@@ -372,4 +403,5 @@ def generate(
         temperature=kwargs.pop("temperature", 1.0),
         top_p=kwargs.pop("top_p", 1.0),
         min_length=kwargs.pop("min_length", 1),
+        repetition_penalty=repetition_penalty,
     )

@@ -1,0 +1,105 @@
+"""Decode parity vs HF ``generate`` on a tiny Qwen2 (torch CPU).
+
+The reference decodes through HF ``llm.generate`` (ps-slm.py:660-675), so HF
+is the executable oracle for beam search semantics: EOS banking rank rule,
+length-penalty over generated length, repetition penalty on log-softmax
+scores (beam) vs raw logits (greedy), inputs_embeds-only prompts.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from ps_slm_tpu.inference.generate import beam_generate, greedy_generate  # noqa: E402
+from ps_slm_tpu.models import qwen2  # noqa: E402
+
+from test_qwen2_parity import _build_pair  # noqa: E402
+
+EOS = 5
+PAD = 7
+
+
+def _embeds_case(hf_model, seed=0, b=2, s=6):
+    rng = np.random.default_rng(seed)
+    h = hf_model.config.hidden_size
+    embeds = rng.normal(size=(b, s, h)).astype(np.float32) * 0.5
+    mask = np.ones((b, s), np.int64)
+    mask[0, :2] = 0  # left padding
+    pos = np.clip(np.cumsum(mask, axis=-1) - 1, 0, None)
+    return embeds, mask, pos
+
+
+def _hf_generate(hf_model, embeds, mask, **kw):
+    with torch.no_grad():
+        out = hf_model.generate(
+            inputs_embeds=torch.tensor(embeds),
+            attention_mask=torch.tensor(mask),
+            eos_token_id=EOS, pad_token_id=PAD,
+            do_sample=False, **kw,
+        )
+    return out.numpy()
+
+
+def _trim(rows):
+    """Cut each row at its first EOS (ours fills EOS, HF fills pad)."""
+    out = []
+    for r in rows:
+        hits = np.where((r == EOS) | (r == PAD))[0]
+        out.append(list(r[: hits[0]] if len(hits) else r))
+    return out
+
+
+@pytest.mark.parametrize("length_penalty", [0.5, 1.0, 2.0])
+def test_beam_matches_hf(length_penalty):
+    hf_model, params, cfg = _build_pair(False)
+    embeds, mask, pos = _embeds_case(hf_model)
+    max_new = 10
+
+    want = _hf_generate(
+        hf_model, embeds, mask, max_new_tokens=max_new, num_beams=3,
+        length_penalty=length_penalty,
+    )
+    got = np.asarray(beam_generate(
+        params, cfg, jnp.asarray(embeds), jnp.asarray(mask, bool),
+        jnp.asarray(pos), max_new_tokens=max_new, eos_token_id=EOS,
+        num_beams=3, length_penalty=length_penalty,
+    ))
+    assert _trim(got) == _trim(want)
+
+
+def test_beam_with_repetition_penalty_matches_hf():
+    hf_model, params, cfg = _build_pair(False)
+    embeds, mask, pos = _embeds_case(hf_model, seed=3)
+    max_new = 10
+
+    want = _hf_generate(
+        hf_model, embeds, mask, max_new_tokens=max_new, num_beams=3,
+        repetition_penalty=1.7,
+    )
+    got = np.asarray(beam_generate(
+        params, cfg, jnp.asarray(embeds), jnp.asarray(mask, bool),
+        jnp.asarray(pos), max_new_tokens=max_new, eos_token_id=EOS,
+        num_beams=3, repetition_penalty=1.7,
+    ))
+    assert _trim(got) == _trim(want)
+
+
+@pytest.mark.parametrize("rep", [1.0, 1.7])
+def test_greedy_matches_hf(rep):
+    hf_model, params, cfg = _build_pair(False)
+    embeds, mask, pos = _embeds_case(hf_model, seed=4)
+    max_new = 12
+
+    want = _hf_generate(
+        hf_model, embeds, mask, max_new_tokens=max_new, num_beams=1,
+        repetition_penalty=rep,
+    )
+    got = np.asarray(greedy_generate(
+        params, cfg, jnp.asarray(embeds), jnp.asarray(mask, bool),
+        jnp.asarray(pos), max_new_tokens=max_new, eos_token_id=EOS,
+        repetition_penalty=rep,
+    ))
+    assert _trim(got) == _trim(want)
