@@ -5,9 +5,9 @@ Replaces the reference's ``peft`` usage (``ps-slm.py:114-125``,
 q/k/v/o/up/gate/down (``aispeech_asr_config.py:41-50``).  Adapters live
 *inside* the target projection's param dict as ``lora_a``/``lora_b``/
 ``lora_scale`` leaves; ``qwen2._linear`` applies ``y += (x@A)@B * scale``
-when present.  Dropout is a no-op here (reference lora_dropout=0.05 applies
-only in torch train mode; TASU recipes train the projector, not LoRA — the
-knob is honored in the train step when enabled).
+when present.  ``lora_dropout`` (peft semantics: inverted dropout on the
+adapter input, train mode only) is applied by ``qwen2.forward`` when the
+training step passes an rng — see ``tasu.forward``.
 """
 
 from __future__ import annotations

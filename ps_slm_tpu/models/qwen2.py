@@ -273,7 +273,7 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
-def _linear(x, p):
+def _linear(x, p, lora_ctx=None):
     if "q8" in p:  # int8 weight-only (ps_slm_tpu.models.quantization)
         y = (x @ p["q8"].astype(x.dtype)) * p["scale"].astype(x.dtype)
     else:
@@ -281,7 +281,16 @@ def _linear(x, p):
     if "bias" in p:
         y = y + p["bias"]
     if "lora_a" in p:  # LoRA adapter (ps_slm_tpu.models.lora)
-        y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * p["lora_scale"]
+        xl = x
+        if lora_ctx is not None:
+            # peft-style lora_dropout: inverted dropout on the adapter input
+            # only (base path untouched), train mode only
+            key, rate, idx = lora_ctx
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(key, idx), 1.0 - rate, x.shape
+            )
+            xl = jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+        y = y + ((xl @ p["lora_a"]) @ p["lora_b"]) * p["lora_scale"]
     return y
 
 
@@ -294,15 +303,22 @@ def _block(
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     cache_index: Optional[jnp.ndarray],
     use_flash: Optional[bool],
+    lora_key=None,
+    lora_dropout: float = 0.0,
 ):
     """One transformer block. Returns (x_out, (k_cache, v_cache))."""
     b, s, h = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
+    def ctx(idx):
+        if lora_key is None or lora_dropout <= 0.0:
+            return None
+        return (lora_key, lora_dropout, idx)
+
     y = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = _linear(y, lp["q_proj"]).reshape(b, s, nh, hd)
-    k = _linear(y, lp["k_proj"]).reshape(b, s, nkv, hd)
-    v = _linear(y, lp["v_proj"]).reshape(b, s, nkv, hd)
+    q = _linear(y, lp["q_proj"], ctx(0)).reshape(b, s, nh, hd)
+    k = _linear(y, lp["k_proj"], ctx(1)).reshape(b, s, nkv, hd)
+    v = _linear(y, lp["v_proj"], ctx(2)).reshape(b, s, nkv, hd)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
@@ -325,12 +341,12 @@ def _block(
         )
         new_cache = (k, v)
 
-    x = x + _linear(attn.reshape(b, s, nh * hd), lp["o_proj"])
+    x = x + _linear(attn.reshape(b, s, nh * hd), lp["o_proj"], ctx(3))
 
     y = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = _linear(y, lp["gate_proj"])
-    up = _linear(y, lp["up_proj"])
-    x = x + _linear(jax.nn.silu(gate) * up, lp["down_proj"])
+    gate = _linear(y, lp["gate_proj"], ctx(4))
+    up = _linear(y, lp["up_proj"], ctx(5))
+    x = x + _linear(jax.nn.silu(gate) * up, lp["down_proj"], ctx(6))
     return x, new_cache
 
 
@@ -357,6 +373,8 @@ def forward(
     *,
     use_flash: Optional[bool] = None,
     remat: bool = False,
+    lora_dropout_rng: Optional[jax.Array] = None,
+    lora_dropout: float = 0.0,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Run the decoder stack. Returns (last_hidden, new_cache).
 
@@ -365,6 +383,9 @@ def forward(
                     matches the merge's position_ids at ps-slm.py:871).
     cache:          {"k": [L,B,T,nkv,hd], "v": ...} bucketed KV cache.
     cache_index:    scalar int — write offset of this chunk in the cache.
+    lora_dropout*:  train-mode peft lora_dropout on the adapter inputs
+                    (aispeech_asr_config.py:48); active only when both the
+                    rate and an rng are supplied (training path, no cache).
     """
     b, s, _ = inputs_embeds.shape
     if position_ids is None:
@@ -399,14 +420,26 @@ def forward(
         )
         new_cache = {"k": new_k, "v": new_v}
     else:
-        def body_nocache(x, lp):
+        use_lora_drop = lora_dropout > 0.0 and lora_dropout_rng is not None
+        n_layers = cfg.num_hidden_layers
+        layer_keys = (
+            jax.random.split(lora_dropout_rng, n_layers)
+            if use_lora_drop else None
+        )
+
+        def body_nocache(x, xs):
+            lp, lkey = xs
             x, _ = _block(
-                lp, cfg, x, position_ids, attention_mask, None, None, use_flash
+                lp, cfg, x, position_ids, attention_mask, None, None,
+                use_flash, lora_key=lkey,
+                lora_dropout=lora_dropout if use_lora_drop else 0.0,
             )
             return x, None
         if remat:
             body_nocache = jax.checkpoint(body_nocache)
-        x, _ = jax.lax.scan(body_nocache, x, params["layers"])
+        x, _ = jax.lax.scan(
+            body_nocache, x, (params["layers"], layer_keys)
+        )
         new_cache = None
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)

@@ -57,6 +57,7 @@ class TasuFlags:
     top1_emb: bool = False
     cross_attn: bool = False
     drop_prob: float = 0.05
+    insert_prob: float = 0.0
     smooth_low: float = 0.0
     smooth_high: float = 0.1
     # forward's voca_trans PSD uses blank 151643 while generate uses the
@@ -81,6 +82,7 @@ class TasuFlags:
             top1_emb=tc.top1_emb,
             cross_attn=tc.cross_attn or False,
             drop_prob=tc.drop_prob,
+            insert_prob=tc.insert_prob,
             smooth_low=tc.smooth_low,
             smooth_high=tc.smooth_high,
             voca_trans_blank_id=tc.voca_trans_blank_id,
@@ -100,6 +102,7 @@ class TasuModel:
     pad_token_id: int = 0
     use_flash: Optional[bool] = None
     remat: bool = False
+    lora_dropout: float = 0.0       # peft lora_dropout, train path only
     cmvn: Optional[tuple] = None     # (neg_mean, inv_std) for on-device CMVN
     fbank_cfg: Any = None            # FbankConfig for the on-device front end
     mesh: Any = None                 # set for multi-device runs: batch-dim
@@ -198,8 +201,9 @@ def compute_audio_embeds(
                 enc_outs, enc_lens = pseudo_posterior_noise(
                     batch["gt_ids"], batch["gt_lens"], rng,
                     vocab_size=model.enc_cfg.vocab_size,
-                    drop_prob=f.drop_prob,
+                    drop_prob=f.drop_prob, insert_prob=f.insert_prob,
                     smooth_low=f.smooth_low, smooth_high=f.smooth_high,
+                    blank_id=model.enc_cfg.blank_id,
                 )
             else:
                 enc_outs, enc_lens = pseudo_posterior(
@@ -344,6 +348,11 @@ def forward(
         attention_mask=merged.attention_mask,
         position_ids=merged.position_ids,
         use_flash=model.use_flash, remat=model.remat,
+        lora_dropout=model.lora_dropout,
+        lora_dropout_rng=(
+            jax.random.fold_in(rng, 23)
+            if (rng is not None and model.lora_dropout > 0.0) else None
+        ),
     )
 
     labels = merged.labels
@@ -463,6 +472,10 @@ def model_factory(
         model_cfg=model_config,
         flags=flags,
         remat=train_config.remat,
+        lora_dropout=(
+            train_config.peft_config.lora_dropout
+            if train_config.use_peft else 0.0
+        ),
     )
     return model
 

@@ -202,6 +202,36 @@ def test_pseudo_posterior_noise_matches_reference_fixed_alpha():
         np.testing.assert_allclose(got[r, n:], 0.0)
 
 
+def test_pseudo_posterior_insertion_count_matches_reference():
+    """With drop off, both sides insert exactly floor(n * insert_prob) frames
+    (ps-slm.py:393), and inserted frames are blanks or duplicates on both."""
+    ref = ro.load_ref_ps_slm()
+    v, l, ins = 7, 12, 0.4
+    ids = list(range(1, 5)) * 3
+    torch.manual_seed(1)
+    self = ro.pseudo_self(
+        {"t": ids}, vocab_size=v, drop_prob=0.0, insert_prob=ins,
+        smooth_low=0.05, smooth_high=0.05,
+    )
+    want, want_lens = ref.slam_model_asr.ctc_pseudo_posterior_noise(
+        self, ["t"]
+    )
+    got, got_lens = pseudo_posterior_noise(
+        jnp.asarray(np.array(ids, np.int32)[None]),
+        jnp.asarray(np.array([l], np.int32)), jax.random.PRNGKey(2),
+        vocab_size=v, drop_prob=0.0, insert_prob=ins,
+        smooth_low=0.05, smooth_high=0.05, blank_id=0,
+    )
+    assert int(got_lens[0]) == int(want_lens[0]) == l + int(l * ins)
+    # same frame-type multiset structure: every row sums to 1
+    np.testing.assert_allclose(
+        np.asarray(got)[0, : l + int(l * ins)].sum(-1), 1.0, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        want.numpy()[0, : l + int(l * ins)].sum(-1), 1.0, rtol=1e-5
+    )
+
+
 def test_pseudo_posterior_noise_drop_statistics_vs_reference():
     """Drop semantics use different RNGs, so compare the *distribution* of
     kept lengths between our jax op and the reference torch op."""

@@ -86,6 +86,15 @@ def test_text_only_tasu_noise():
     _check(model, _mk_batch(np.random.default_rng(1), with_audio=False))
 
 
+def test_text_only_tasu_insertion_noise():
+    """insert_prob is honored end-to-end (ps-slm.py:388-399), not ignored."""
+    model, _ = _mk_model(
+        ctc_posterior=True, gt_emb=True, gt_emb_noise=True, insert_prob=0.3,
+    )
+    assert model.flags.insert_prob == 0.3
+    _check(model, _mk_batch(np.random.default_rng(1), with_audio=False))
+
+
 @pytest.mark.parametrize("do_psd", [False, True])
 def test_audio_tasu(do_psd):
     model, _ = _mk_model(ctc_posterior=True, do_psd=do_psd)
@@ -129,6 +138,33 @@ def test_lora_flags():
     assert mask["llm"]["layers"]["q_proj"]["lora_a"] is True
     assert mask["llm"]["layers"]["q_proj"]["kernel"] is False
     assert all(jax.tree_util.tree_leaves(mask["projector"]))
+
+
+def test_lora_dropout_active_in_training():
+    """lora_dropout is honored (peft semantics), not silently carried."""
+    model, tc = _mk_model(
+        ctc_posterior=True, gt_emb=True, use_peft=True, freeze_llm=True,
+        freeze_encoder=True,
+    )
+    assert model.lora_dropout == tc.peft_config.lora_dropout > 0.0
+    batch = _mk_batch(np.random.default_rng(7), with_audio=False)
+    # lora_b init is zero, so dropout on the adapter input is invisible in
+    # the loss; make the adapter non-trivial first
+    import jax.tree_util as jtu
+
+    def bump(path, leaf):
+        if any(str(getattr(p, "key", "")) == "lora_b" for p in path):
+            return jnp.ones_like(leaf) * 0.05
+        return leaf
+
+    model.params["llm"] = jtu.tree_map_with_path(bump, model.params["llm"])
+    l1 = _check(model, batch)
+    loss2, _ = forward(model, model.params, batch, jax.random.PRNGKey(2))
+    assert l1 != float(loss2)  # different dropout masks -> different loss
+    # eval path (no rng): deterministic, dropout off
+    le1, _ = forward(model, model.params, batch, None)
+    le2, _ = forward(model, model.params, batch, None)
+    assert float(le1) == float(le2)
 
 
 def test_text_only_training_loss_decreases():

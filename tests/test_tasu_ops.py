@@ -252,6 +252,55 @@ def test_pseudo_posterior_noise_statistics():
         np.testing.assert_allclose(off, alpha / v, rtol=1e-4, atol=1e-7)
 
 
+def test_pseudo_posterior_insertion_noise():
+    """Insertion semantics (ps-slm.py:388-399): n_ins = floor(n*insert_prob)
+    frames, each a blank one-hot or a duplicate of its predecessor."""
+    v, b, l, blank = 16, 8, 12, 0
+    alpha = 0.08
+    rng = np.random.default_rng(5)
+    # distinct non-blank ids per row so originals never equal their neighbour
+    ids = np.stack([
+        rng.permutation(np.arange(1, v))[:l] for _ in range(b)
+    ]).astype(np.int32)
+    lens = np.full((b,), l, np.int32)
+    lens[-1] = 5
+    post, new_lens = pseudo_posterior_noise(
+        jnp.asarray(ids), jnp.asarray(lens), jax.random.PRNGKey(11),
+        vocab_size=v, drop_prob=0.0, insert_prob=0.5,
+        smooth_low=alpha, smooth_high=alpha, blank_id=blank,
+    )
+    p = np.asarray(post)
+    nl = np.asarray(new_lens)
+    assert p.shape == (b, l + 6, v)  # static budget ceil(12 * 0.5)
+    np.testing.assert_array_equal(nl, lens + (lens * 0.5).astype(int))
+
+    blank_onehot = np.eye(v, dtype=np.float32)[blank]
+    n_blank = n_dup = 0
+    for r in range(b):
+        rows = p[r, : nl[r]]
+        np.testing.assert_allclose(rows.sum(-1), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(p[r, nl[r]:], 0.0)
+        # classify: inserted blanks are exact one-hots; duplicates copy an
+        # original frame (originals are distinct by construction, so any
+        # repeated value is an insertion)
+        orig_rows = []
+        for row in rows:
+            if np.allclose(row, blank_onehot):
+                n_blank += 1
+            elif any(np.allclose(row, o) for o in orig_rows):
+                n_dup += 1
+            else:
+                orig_rows.append(row)
+        # surviving originals keep their order and count
+        assert len(orig_rows) == lens[r]
+        want_ids = [int(np.argmax(x)) for x in orig_rows]
+        assert want_ids == list(ids[r, : lens[r]])
+    total_ins = int((lens * 0.5).astype(int).sum())
+    assert n_blank + n_dup == total_ins
+    # dup-vs-blank is a fair coin (96 insertions here)
+    assert 0.2 < n_blank / total_ins < 0.8
+
+
 def test_pseudo_posterior_noise_deterministic():
     ids = jnp.asarray([[1, 2, 3, 4]])
     lens = jnp.asarray([4])
