@@ -5,11 +5,12 @@ Capability parity with the reference's audio-read paths
 
   * plain ``*.wav`` / wav-in-ark at ``path:offset`` -> int16 PCM / 32768
   * Kaldi binary float matrices at ``path:offset`` (pre-computed fbank arks)
-  * FLAC is NOT supported in this build (the reference used torchaudio);
-    a clear error is raised — transcode to wav upstream.
+  * ``*.flac`` via the vendored decoder (the reference used torchaudio,
+    speech_dataset_large.py:119-123)
 
-The hot path is the C++ reader (``native/csrc/audio_io.cc``) via ctypes;
-a pure-numpy fallback keeps the pipeline functional without the build step.
+The hot path is the C++ reader (``native/csrc/{audio_io,flac}.cc``) via
+ctypes; pure-Python fallbacks keep the pipeline functional without the
+build step.
 """
 
 from __future__ import annotations
@@ -70,6 +71,25 @@ def _native():
     ]
     lib._WavMeta = WavMeta
     lib._MatMeta = MatMeta
+
+    if hasattr(lib, "ps_flac_info"):
+        class FlacMeta(ctypes.Structure):
+            _fields_ = [
+                ("sample_rate", ctypes.c_int32),
+                ("num_channels", ctypes.c_int32),
+                ("bits_per_sample", ctypes.c_int32),
+                ("total_samples", ctypes.c_int64),
+            ]
+
+        lib.ps_flac_info.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(FlacMeta)
+        ]
+        lib.ps_flac_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        lib.ps_flac_read.restype = ctypes.c_int64
+        lib._FlacMeta = FlacMeta
     _LIB = lib
     return lib
 
@@ -157,6 +177,38 @@ def write_wav(path: str, rate: int, samples: np.ndarray) -> None:
 
 
 # ----------------------------------------------------------------------------
+# flac
+# ----------------------------------------------------------------------------
+
+def read_flac(path: str, offset: int = 0) -> Tuple[int, np.ndarray]:
+    """Returns (sample_rate, float32 mono in [-1, 1]).
+
+    C++ decoder (native/csrc/flac.cc) when built; pure-Python fallback
+    (ps_slm_tpu.data.flac) otherwise.
+    """
+    lib = _native()
+    if lib is not None and hasattr(lib, "ps_flac_info"):
+        meta = lib._FlacMeta()
+        rc = lib.ps_flac_info(path.encode(), offset, ctypes.byref(meta))
+        if rc == 0 and meta.total_samples > 0:
+            n = meta.total_samples * meta.num_channels
+            buf = np.empty(n, np.int32)
+            got = lib.ps_flac_read(
+                path.encode(), offset,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+            )
+            if got > 0:
+                x = buf[: got * meta.num_channels].astype(np.float32)
+                x /= float(1 << (meta.bits_per_sample - 1))
+                if meta.num_channels > 1:
+                    x = x.reshape(-1, meta.num_channels).mean(axis=1)
+                return meta.sample_rate, x
+    from ps_slm_tpu.data.flac import read_flac as _py_read_flac
+
+    return _py_read_flac(path, offset)
+
+
+# ----------------------------------------------------------------------------
 # kaldi ark
 # ----------------------------------------------------------------------------
 
@@ -231,13 +283,11 @@ def load_audio(path: str, target_rate: int = 16000) -> np.ndarray:
     torchaudio (unsupported here), wav/ark via kaldiio (int16/32768).
     """
     ext = os.path.splitext(path.split(":")[0])[1].lower()
-    if ext == ".flac":
-        raise NotImplementedError(
-            "FLAC decode is not built into this runtime; transcode to wav "
-            "(reference used torchaudio for flac, speech_dataset_large.py:123)"
-        )
     fpath, offset = parse_path(path)
-    rate, x = read_wav(fpath, offset)
+    if ext == ".flac":
+        rate, x = read_flac(fpath, offset)
+    else:
+        rate, x = read_wav(fpath, offset)
     if rate != target_rate:
         # linear resample (host, rare path; reference assumes 16 kHz input)
         n_out = int(round(len(x) * target_rate / rate))

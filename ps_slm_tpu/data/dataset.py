@@ -149,7 +149,12 @@ class MultiTaskDataset:
             n = len(waveform)
             if n > self.max_samples or n < self.min_samples:
                 return None  # 0.1-30 s filter (speech_dataset_large.py:111)
-            est_frames = self._est_frames(n)
+            if self.cfg.encoder == "whisper":
+                # whisper front end is fixed 30 s -> 3000 mel frames
+                # (speech_dataset_large.py:108-118)
+                est_frames = 3000
+            else:
+                est_frames = self._est_frames(n)
 
         prompt = rng.choice(self.prompts[task])
         prompt = self.cfg.prompt_style.format(prompt)
@@ -279,16 +284,34 @@ class Collator:
             ])
 
         if samples[0].waveform is not None:
-            # waveform bucket = feature_bucket LFR frames worth of samples
-            wav_bucket = self.cfg.feature_bucket * 6 * 160
-            n_len = _bucket(max(len(s.waveform) for s in samples), wav_bucket)
-            batch["waveform"] = np.stack([
-                _pad_to(s.waveform.astype(np.float32), n_len, 0.0)
-                for s in samples
-            ])
-            batch["waveform_length"] = np.asarray(
-                [len(s.waveform) for s in samples], np.int32
-            )
+            if self.cfg.encoder == "whisper":
+                # whisper path (speech_dataset_large.py:108-118): pad_or_trim
+                # to 30 s, 128-mel log spectrogram, fixed 3000 frames; emitted
+                # time-major [B, 3000, 128] as precomputed input_features
+                from ps_slm_tpu.ops.fbank import pad_or_trim, whisper_log_mel
+
+                wav = np.stack([
+                    np.asarray(pad_or_trim(s.waveform.astype(np.float32)))
+                    for s in samples
+                ])
+                mel = np.asarray(whisper_log_mel(wav, n_mels=128))
+                batch["input_features"] = np.swapaxes(mel, 1, 2)
+                batch["input_feature_length"] = np.full(
+                    (len(samples),), mel.shape[-1], np.int32
+                )
+            else:
+                # waveform bucket = feature_bucket LFR frames worth of samples
+                wav_bucket = self.cfg.feature_bucket * 6 * 160
+                n_len = _bucket(
+                    max(len(s.waveform) for s in samples), wav_bucket
+                )
+                batch["waveform"] = np.stack([
+                    _pad_to(s.waveform.astype(np.float32), n_len, 0.0)
+                    for s in samples
+                ])
+                batch["waveform_length"] = np.asarray(
+                    [len(s.waveform) for s in samples], np.int32
+                )
 
         if any(len(s.gt_ids) for s in samples):
             g_len = _bucket(max(len(s.gt_ids) for s in samples), tb)
