@@ -92,6 +92,41 @@ def test_finetune_cli(fixtures):
     assert "encoder_projector.ffn.0.weight" in sd
 
 
+def test_multihost_decode_parts_equal_single_host(fixtures, monkeypatch):
+    """PS_NUM_HOSTS sharded decode (cli/decode.py, reference
+    inference_batch_deepspeed.py): the merged part files must equal the
+    single-host decode, every utterance exactly once."""
+    from ps_slm_tpu.cli.decode import main
+
+    single = fixtures / "single" / "test"
+    args = _common_args(fixtures) + [
+        "++train_config.num_beams=1",
+        "++train_config.max_new_tokens=6",
+    ]
+    assert main(args + [f"decode_log={single}"]) == 0
+
+    multi = fixtures / "multi" / "test"
+    for host in (0, 1):
+        monkeypatch.setenv("PS_NUM_HOSTS", "2")
+        monkeypatch.setenv("PS_HOST_ID", str(host))
+        assert main(args + [f"decode_log={multi}"]) == 0
+    monkeypatch.delenv("PS_NUM_HOSTS")
+    monkeypatch.delenv("PS_HOST_ID")
+
+    def read(path):
+        with open(path) as f:
+            return dict(
+                l.rstrip("\n").split("\t", 1) for l in f if l.strip()
+            )
+
+    want = read(str(single) + "_pred")
+    part0 = read(str(multi) + ".part0_pred")
+    part1 = read(str(multi) + ".part1_pred")
+    assert not (part0.keys() & part1.keys())
+    merged = {**part0, **part1}
+    assert merged == want
+
+
 def test_decode_cli_and_scoring(fixtures):
     from ps_slm_tpu.cli.decode import main
     from ps_slm_tpu.tools.clean_marks import strip_all_punct

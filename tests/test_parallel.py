@@ -129,6 +129,96 @@ def test_padded_global_batching_no_contribution():
     np.testing.assert_allclose(float(loss5b), float(loss8b), rtol=1e-5)
 
 
+@pytest.mark.parametrize("num_hosts", [2, 4])
+def test_multihost_global_batching_equals_single_host(tmp_path, num_hosts):
+    """Every host sees the same step count, the union of host rows is the
+    single-host stream, and the token-weighted loss over hosts equals the
+    single-host loss per bucket (replaces the reference's gloo join barrier,
+    deepspeed_utils.py:102-123)."""
+    import json
+
+    from ps_slm_tpu.config import DataConfig
+    from ps_slm_tpu.data.dataset import get_speech_dataset
+    from ps_slm_tpu.data.tokenizer import StubTokenizer
+    from ps_slm_tpu.models.tasu import forward
+
+    # text-only fixtures: manifest with no audio (load_audio=False)
+    split = tmp_path / "train"
+    split.mkdir()
+    rng = np.random.default_rng(0)
+    with open(split / "multitask.jsonl", "w") as f:
+        for i in range(11):  # odd count -> uneven shards
+            words = " ".join(
+                f"w{rng.integers(100)}" for _ in range(rng.integers(2, 9))
+            )
+            f.write(json.dumps({
+                "key": f"u{i}", "path": "", "target": words, "GT": words,
+                "task": "ASR",
+            }) + "\n")
+    prompt = tmp_path / "multiprompt.jsonl"
+    prompt.write_text(
+        json.dumps({"task": "ASR", "prompt": "transcribe:"}) + "\n"
+    )
+    dc = DataConfig(
+        multitask_prompt_path=str(prompt), train_scp_file_path=str(split),
+        train_max_frame_length=120, ds_rate=1, token_bucket=8,
+    )
+
+    class GtTok:
+        vocab_size = 11
+
+        def encode(self, text):
+            return [1 + (hash(w) % 10) for w in text.split()]
+
+    tok = StubTokenizer()
+
+    def batches(num_hosts, host_id):
+        return list(get_speech_dataset(
+            dc, tok, "train", encoder_tokenizer=GtTok(),
+            num_hosts=num_hosts, host_id=host_id, load_audio=False,
+        ))
+
+    single = batches(1, 0)
+    per_host = [batches(num_hosts, h) for h in range(num_hosts)]
+    # identical step counts on every host — no join barrier needed
+    assert all(len(b) == len(single) for b in per_host)
+    # union of valid keys per bucket == single-host bucket keys
+    for i, sb in enumerate(single):
+        got = []
+        for h in range(num_hosts):
+            hb = per_host[h][i]
+            got += [
+                k for k, v in zip(hb["keys"], hb["batch_valid"]) if v
+            ]
+        assert sorted(got) == sorted(sb["keys"])
+
+    # token-weighted loss over hosts == single-host loss per bucket
+    # (noise off: the per-utterance draws depend on the padded batch shape)
+    import dataclasses
+
+    model, tc, _ = _model_and_batch()
+    model.flags = dataclasses.replace(model.flags, gt_emb_noise=False)
+    model.speech_token_id = tok.speech_token_id
+
+    def loss_ntok(batch):
+        jb = {
+            k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, np.ndarray)
+        }
+        loss, m = forward(model, model.params, jb, None)
+        return float(loss), float(m["ntokens"])
+
+    for i, sb in enumerate(single):
+        l1, n1 = loss_ntok(sb)
+        tot = wsum = 0.0
+        for h in range(num_hosts):
+            lh, nh = loss_ntok(per_host[h][i])
+            wsum += lh * nh
+            tot += nh
+        assert tot == n1
+        np.testing.assert_allclose(wsum / tot, l1, rtol=2e-5)
+
+
 def test_no_involuntary_remat_on_tp_mesh(capfd):
     """The dp x fsdp x tp training step must compile without GSPMD falling
     back to involuntary full rematerialization in the merge/scatter path

@@ -61,6 +61,28 @@ def test_wer_case_insensitive(tmp_path):
 
 def test_clean_marks(tmp_path):
     assert clean_text("hello, world! 你好。") == "hello world 你好"
+
+
+def test_clean_marks_matches_reference_cleaner():
+    """Fuzz behavior lock vs the reference clean_marks.py (incl. the em dash
+    the reference's '——' two-char set entry can never strip)."""
+    import random
+    import string
+    from importlib.machinery import SourceFileLoader
+
+    ref = SourceFileLoader(
+        "ref_clean", "/root/reference/Multitask/clean_marks.py"
+    ).load_module()
+    rng = random.Random(0)
+    pool = (
+        string.printable + "，。！？：；、（）“”‘’【】《》—…\\"
+        + "你好世界アーカ한국" + "​﷐"
+    )
+    for _ in range(500):
+        s = "".join(rng.choice(pool) for _ in range(rng.randrange(0, 40)))
+        want = "".join(ch for ch in s if ref.is_valid_char(ch))
+        assert clean_text(s) == want
+    assert clean_text("a—b") == "a—b"  # em dash survives, as in the reference
     p = tmp_path / "pred"
     p.write_text("u1\thi, there!\nu2\tok…\n")
     strip_all_punct(str(p))
