@@ -181,6 +181,9 @@ class DataConfig:
     # nearest multiple of `feature_bucket`; token lengths to `token_bucket`.
     feature_bucket: int = 128
     token_bucket: int = 32
+    # Wire format for host->device waveforms: "int16" (half the transfer
+    # bytes; exact for 16-bit PCM sources) or "float32".
+    waveform_dtype: str = "int16"
 
 
 @dataclass

@@ -305,10 +305,17 @@ class Collator:
                 n_len = _bucket(
                     max(len(s.waveform) for s in samples), wav_bucket
                 )
-                batch["waveform"] = np.stack([
+                wav = np.stack([
                     _pad_to(s.waveform.astype(np.float32), n_len, 0.0)
                     for s in samples
                 ])
+                if self.cfg.waveform_dtype == "int16":
+                    # halve host->device bytes; exact round trip for 16-bit
+                    # PCM sources (ops/fbank.frontend rescales on device)
+                    wav = np.clip(
+                        np.rint(wav * 32768.0), -32768, 32767
+                    ).astype(np.int16)
+                batch["waveform"] = wav
                 batch["waveform_length"] = np.asarray(
                     [len(s.waveform) for s in samples], np.int32
                 )

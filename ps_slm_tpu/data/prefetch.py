@@ -41,3 +41,21 @@ def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
                 raise err[0]
             return
         yield item
+
+
+def device_prefetch(
+    iterable: Iterable, place, depth: int = 2
+) -> Iterator:
+    """Prefetch with host->device placement inside the producer thread.
+
+    ``place(host_batch) -> device_batch`` runs off the consumer thread, so
+    the H2D transfer of batch N+1 overlaps the device step on batch N (the
+    double-buffered ``device_put`` of SURVEY.md §7 step 11 — on relay-style
+    backends the transfer is the per-step host cost that most needs hiding).
+
+    Yields ``(host_batch, device_batch)`` pairs; host-only fields (keys,
+    targets, audio seconds) stay readable on the host side.
+    """
+    return prefetch(
+        ((batch, place(batch)) for batch in iterable), depth=depth
+    )

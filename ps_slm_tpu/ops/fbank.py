@@ -269,6 +269,11 @@ def frontend(
     from ps_slm_tpu.config import FbankConfig
 
     cfg = cfg or FbankConfig()
+    if waveform.dtype == jnp.int16:
+        # int16 PCM shipped host->device at half the bytes; the /32768
+        # normalization the reference did on host (speech_dataset_large.py:127)
+        # happens here so the round trip is bit-exact for 16-bit sources
+        waveform = waveform.astype(jnp.float32) / 32768.0
     feats, flens = fbank(
         waveform, lengths,
         key if train else None,

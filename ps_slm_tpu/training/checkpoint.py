@@ -169,9 +169,116 @@ _PROJ_KEYMAPS = {
 }
 
 
+def _qformer_layer_keymap(layer: Params, prefix: str):
+    """(our leaf ref, HF name, transpose) triples for one Blip2QFormerLayer.
+
+    HF module structure verified against the installed transformers
+    Blip2QFormerModel; reference wrapper at ``projector.py:76-101``.
+    """
+    pairs = [
+        (("self_q", "kernel"), f"{prefix}.attention.attention.query.weight", True),
+        (("self_q", "bias"), f"{prefix}.attention.attention.query.bias", False),
+        (("self_k", "kernel"), f"{prefix}.attention.attention.key.weight", True),
+        (("self_k", "bias"), f"{prefix}.attention.attention.key.bias", False),
+        (("self_v", "kernel"), f"{prefix}.attention.attention.value.weight", True),
+        (("self_v", "bias"), f"{prefix}.attention.attention.value.bias", False),
+        (("self_o", "kernel"), f"{prefix}.attention.output.dense.weight", True),
+        (("self_o", "bias"), f"{prefix}.attention.output.dense.bias", False),
+        (("ln_self", "weight"), f"{prefix}.attention.output.LayerNorm.weight", False),
+        (("ln_self", "bias"), f"{prefix}.attention.output.LayerNorm.bias", False),
+        (("ffn1", "kernel"), f"{prefix}.intermediate_query.dense.weight", True),
+        (("ffn1", "bias"), f"{prefix}.intermediate_query.dense.bias", False),
+        (("ffn2", "kernel"), f"{prefix}.output_query.dense.weight", True),
+        (("ffn2", "bias"), f"{prefix}.output_query.dense.bias", False),
+        (("ln_ffn", "weight"), f"{prefix}.output_query.LayerNorm.weight", False),
+        (("ln_ffn", "bias"), f"{prefix}.output_query.LayerNorm.bias", False),
+    ]
+    if "cross_q" in layer:
+        pairs += [
+            (("cross_q", "kernel"), f"{prefix}.crossattention.attention.query.weight", True),
+            (("cross_q", "bias"), f"{prefix}.crossattention.attention.query.bias", False),
+            (("cross_k", "kernel"), f"{prefix}.crossattention.attention.key.weight", True),
+            (("cross_k", "bias"), f"{prefix}.crossattention.attention.key.bias", False),
+            (("cross_v", "kernel"), f"{prefix}.crossattention.attention.value.weight", True),
+            (("cross_v", "bias"), f"{prefix}.crossattention.attention.value.bias", False),
+            (("cross_o", "kernel"), f"{prefix}.crossattention.output.dense.weight", True),
+            (("cross_o", "bias"), f"{prefix}.crossattention.output.dense.bias", False),
+            (("ln_cross", "weight"), f"{prefix}.crossattention.output.LayerNorm.weight", False),
+            (("ln_cross", "bias"), f"{prefix}.crossattention.output.LayerNorm.bias", False),
+        ]
+    return pairs
+
+
+def _qformer_keymap(proj_params: Params):
+    """Full q-former keymap: (our (node, leaf) path, ref name, transpose)."""
+    pairs = [
+        ((("query",),), "query", False),
+        ((("ln_embed", "weight"),), "qformer.layernorm.weight", False),
+        ((("ln_embed", "bias"),), "qformer.layernorm.bias", False),
+        ((("out", "kernel"),), "linear.weight", True),
+        ((("out", "bias"),), "linear.bias", False),
+        ((("out_norm", "weight"),), "norm.weight", False),
+        ((("out_norm", "bias"),), "norm.bias", False),
+    ]
+    flat = [(p[0], name, t) for p, name, t in pairs]
+    for i, layer in enumerate(proj_params["layers"]):
+        for (node, leaf), name, t in _qformer_layer_keymap(
+            layer, f"qformer.encoder.layer.{i}"
+        ):
+            flat.append((("layers", i, node, leaf), name, t))
+    return flat
+
+
+def _tree_get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _tree_set(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    node[path[-1]] = value
+
+
+def _qformer_to_reference(proj_params: Params) -> Dict[str, np.ndarray]:
+    out = {}
+    for path, name, t in _qformer_keymap(proj_params):
+        arr = np.asarray(_tree_get(proj_params, path), np.float32)
+        out[f"encoder_projector.{name}"] = arr.T if t else arr
+    return out
+
+
+def _copy_containers(tree):
+    """Copy dict/list structure, sharing the leaves."""
+    if isinstance(tree, dict):
+        return {k: _copy_containers(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_copy_containers(v) for v in tree]
+    return tree
+
+
+def _reference_to_qformer(
+    tensors: Dict[str, np.ndarray], proj_params: Params, dtype=jnp.float32
+) -> Tuple[Params, list]:
+    out = _copy_containers(proj_params)
+    loaded = []
+    for path, name, t in _qformer_keymap(proj_params):
+        key = f"encoder_projector.{name}"
+        if key not in tensors:
+            continue
+        arr = np.asarray(tensors[key], np.float32)
+        _tree_set(out, path, jnp.asarray(arr.T if t else arr, dtype))
+        loaded.append(key)
+    return out, loaded
+
+
 def projector_to_reference(
     proj_params: Params, projector_name: str
 ) -> Dict[str, np.ndarray]:
+    if projector_name == "q-former":
+        return _qformer_to_reference(proj_params)
     keymap = _PROJ_KEYMAPS.get(projector_name)
     if keymap is None:
         raise NotImplementedError(
@@ -192,6 +299,8 @@ def reference_to_projector(
     tensors: Dict[str, np.ndarray], proj_params: Params, projector_name: str,
     dtype=jnp.float32,
 ) -> Tuple[Params, list]:
+    if projector_name == "q-former":
+        return _reference_to_qformer(tensors, proj_params, dtype)
     keymap = _PROJ_KEYMAPS.get(projector_name)
     if keymap is None:
         raise NotImplementedError(projector_name)

@@ -111,11 +111,13 @@ def train(
             epoch_batches = 0
             with MemoryTrace() as mem:
                 pending = []  # async metrics; synced at log points only
-                from ps_slm_tpu.data.prefetch import prefetch
+                from ps_slm_tpu.data.prefetch import device_prefetch
 
-                for batch in prefetch(train_batches_fn(epoch), depth=2):
+                for batch, gbatch in device_prefetch(
+                    train_batches_fn(epoch),
+                    lambda b: to_device_batch(b, mesh), depth=2,
+                ):
                     timer.start()
-                    gbatch = to_device_batch(batch, mesh)
                     state, metrics = step_fn(state, gbatch, rng)
                     # do NOT materialize metrics here: a device->host sync
                     # every step would serialize the pipeline

@@ -61,8 +61,10 @@ def test_kaldi_matrix(tmp_path):
     np.testing.assert_array_equal(got2, mat)
 
 
-def test_flac_unsupported():
-    with pytest.raises(NotImplementedError):
+def test_flac_missing_file():
+    # flac is supported (vendored decoder, data/flac.py); a missing file
+    # must surface as FileNotFoundError, not a format error
+    with pytest.raises(FileNotFoundError):
         aio.load_audio("x.flac")
 
 

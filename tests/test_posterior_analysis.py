@@ -66,3 +66,71 @@ def test_analyze_h5(tmp_path):
     agg = analyze_h5(str(path))
     assert agg["n_utts"] == 3
     assert 0 <= agg["top1"] <= 1
+
+
+def _triplet_cache(path, rng, n=4, v=6):
+    """Reference layout: top-level ctc/clean/noise groups of logit sets."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        for g in ("ctc", "clean", "noise"):
+            grp = f.create_group(g)
+            for k in range(n):
+                t = int(rng.integers(6, 14))
+                grp[f"utt{k}"] = rng.normal(size=(t, v)).astype(np.float32)
+
+
+def test_analyze_triplet_h5_fanout_and_plots(tmp_path):
+    pytest.importorskip("h5py")
+    pytest.importorskip("matplotlib")
+    from ps_slm_tpu.tools.posterior_analysis import analyze_triplet_h5
+
+    rng = np.random.default_rng(4)
+    path = tmp_path / "triplet.h5"
+    _triplet_cache(str(path), rng)
+    out = tmp_path / "out"
+
+    # serial and pool fan-out must agree exactly
+    s1 = analyze_triplet_h5(str(path), str(out / "serial"), jobs=1)
+    s2 = analyze_triplet_h5(str(path), str(out / "pool"), jobs=2)
+    assert s1["n_utts"] == s2["n_utts"] == 4
+    assert s1["delta_mean"] == pytest.approx(s2["delta_mean"])
+
+    import csv as _csv
+    import os
+
+    with open(s1["csv"]) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 4
+    for col in ("ctc_clean_js", "ctc_noise_js", "noise_clean_js", "delta",
+                "ctc_clean_top1_acc", "ctc_clean_edit_norm"):
+        assert col in rows[0]
+    for p in s1["plots"]:
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_triplet_cli_dispatch(tmp_path, capsys):
+    pytest.importorskip("h5py")
+    pytest.importorskip("matplotlib")
+    from ps_slm_tpu.tools.posterior_analysis import main
+
+    rng = np.random.default_rng(5)
+    path = tmp_path / "triplet.h5"
+    _triplet_cache(str(path), rng, n=2)
+    rc = main([str(path), str(tmp_path / "out"), "--jobs", "1"])
+    assert rc == 0
+    assert "delta mean" in capsys.readouterr().out
+
+
+def test_interp_logits_then_softmax():
+    from ps_slm_tpu.tools.posterior_analysis import interp_logits_then_softmax
+
+    rng = np.random.default_rng(6)
+    logits = rng.normal(size=(7, 5))
+    p = interp_logits_then_softmax(logits, 11)
+    assert p.shape == (11, 5)
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-6)
+    # length-preserving call == plain softmax
+    q = interp_logits_then_softmax(logits, 7)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    np.testing.assert_allclose(q, e / e.sum(-1, keepdims=True), rtol=1e-6)

@@ -63,7 +63,7 @@ def test_clean_marks(tmp_path):
     assert clean_text("hello, world! 你好。") == "hello world 你好"
 
 
-def test_clean_marks_matches_reference_cleaner():
+def test_clean_marks_matches_reference_cleaner(tmp_path):
     """Fuzz behavior lock vs the reference clean_marks.py (incl. the em dash
     the reference's '——' two-char set entry can never strip)."""
     import random
