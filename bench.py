@@ -27,8 +27,10 @@ import numpy as np
 
 A100_EQUIV_TARGET = 6 * 60.0  # audio-sec/sec/chip; see module docstring
 
-# keep bench reproducible & bounded
-BATCH = 4
+# keep bench reproducible & bounded (batch 5 x 512 frames = 2560-frame
+# budget, still under the reference recipe's 3000; best measured single-chip
+# config — see docs/PERF.md)
+BATCH = int(os.environ.get("PS_BENCH_BATCH", "5"))
 FRAMES = 512            # encoder frames per utterance (~30.7 s audio)
 TEXT_LEN = 32
 STEPS = 5

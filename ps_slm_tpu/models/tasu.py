@@ -364,11 +364,26 @@ def forward(
     if w is None:
         w = params["llm"]["embed_tokens"].T
 
-    # CE strategy: full fp32 logits are fastest while they fit; above ~2 GB
-    # switch to the chunked/rematerialized CE (ops/ce_loss.py) that never
-    # materializes [B,T,V] (measured: chunked costs ~3% when logits are
-    # small, saves gigabytes when they are not)
+    # CE strategy (ops/ce_loss.py):
+    #   1. merged audio+text batches carry labels only on the text target
+    #      positions (the audio span and prompt are -100), so the gathered CE
+    #      unembeds just those <= B x text_len rows — ~17x fewer CE FLOPs at
+    #      the published recipe's shapes;
+    #   2. otherwise full fp32 logits while they fit;
+    #   3. chunked/rematerialized CE above ~1.5 GB of logits.
     b_, t_ = labels.shape
+    text_len = batch["input_ids"].shape[1]
+    max_valid = b_ * text_len
+    if max_valid <= (b_ * (t_ - 1)) // 2:
+        from ps_slm_tpu.ops.ce_loss import gathered_ce_loss
+
+        # round up to a full MXU tile for the [M, V] unembed matmul
+        max_valid = min(-(-max_valid // 128) * 128, b_ * (t_ - 1))
+        loss, acc, ntok = gathered_ce_loss(
+            hidden, w, labels, max_valid=max_valid, ignore_id=IGNORE_ID
+        )
+        return loss, {"acc": acc, "ntokens": ntok}
+
     logits_bytes = b_ * t_ * w.shape[-1] * 4
     if logits_bytes > 3 * 2 ** 29:  # 1.5 GB
         from ps_slm_tpu.ops.ce_loss import chunked_ce_loss

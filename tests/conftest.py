@@ -24,6 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Default run = fast subset (<3 min pre-commit gate); the full suite
+    (compile-heavy mesh/parity tests included) runs with PS_RUN_SLOW=1 or an
+    explicit ``-m`` selection (VERDICT r1 item 9)."""
+    if os.environ.get("PS_RUN_SLOW") == "1" or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow (compile-heavy); set PS_RUN_SLOW=1 for the full suite"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def rng():
     import numpy as np

@@ -64,3 +64,45 @@ def test_all_ignored():
     labels = jnp.full((1, 4), -100, jnp.int32)
     loss, acc, n = chunked_ce_loss(hidden, w, labels)
     assert float(loss) == 0.0 and int(n) == 0
+
+
+def test_gathered_matches_naive_values_and_grads():
+    """Merged-TASU-shaped labels: a long -100 audio span, few text labels."""
+    from ps_slm_tpu.ops.ce_loss import gathered_ce_loss
+
+    rng = np.random.default_rng(2)
+    b, t, h, v = 3, 40, 8, 29
+    hidden = jnp.asarray(rng.normal(size=(b, t, h)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(h, v)).astype(np.float32))
+    labels = np.full((b, t), -100, np.int32)
+    # audio span [0, 30) ignored; text labels at the tail, ragged per row
+    for i, n_lab in enumerate((6, 9, 3)):
+        labels[i, 30:30 + n_lab] = rng.integers(0, v, size=n_lab)
+    labels = jnp.asarray(labels)
+
+    l1, a1, n1 = _naive(hidden, w, labels)
+    for max_valid in (18, 32, b * (t - 1)):
+        l2, a2, n2 = gathered_ce_loss(hidden, w, labels, max_valid=max_valid)
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+        np.testing.assert_allclose(float(a2), float(a1), rtol=1e-6)
+        assert int(n1) == int(n2)
+
+    g1 = jax.grad(lambda hh, ww: _naive(hh, ww, labels)[0], argnums=(0, 1))(
+        hidden, w
+    )
+    g2 = jax.grad(
+        lambda hh, ww: gathered_ce_loss(hh, ww, labels, max_valid=32)[0],
+        argnums=(0, 1),
+    )(hidden, w)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-5)
+
+
+def test_gathered_all_ignored():
+    from ps_slm_tpu.ops.ce_loss import gathered_ce_loss
+
+    hidden = jnp.zeros((1, 6, 8))
+    w = jnp.zeros((8, 5))
+    labels = jnp.full((1, 6), -100, jnp.int32)
+    loss, acc, n = gathered_ce_loss(hidden, w, labels, max_valid=4)
+    assert float(loss) == 0.0 and int(n) == 0

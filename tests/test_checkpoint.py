@@ -41,6 +41,7 @@ def _batch():
     }
 
 
+@pytest.mark.slow
 def test_reference_export_import_roundtrip(tmp_path):
     """model A -> pytorch_model.bin -> model B: identical forward."""
     a = _model(seed=0)
@@ -130,6 +131,7 @@ def test_ctc_linear_loader(tmp_path):
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_orbax_train_state_roundtrip(tmp_path):
     from ps_slm_tpu.models.tasu import trainable_mask
     from ps_slm_tpu.training.train_state import (
@@ -195,6 +197,7 @@ def test_qformer_keymap_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_qformer_activation_parity_vs_hf():
     """Our apply_qformer vs the actual transformers Blip2QFormerModel with
     weights moved through the reference keymap (reference wrapper

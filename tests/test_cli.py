@@ -9,6 +9,8 @@ import pytest
 
 from ps_slm_tpu.data import audio_io
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
+
 
 @pytest.fixture()
 def fixtures(tmp_path):

@@ -130,6 +130,7 @@ def test_global_batcher_determinism(tmp_path):
         assert b0["input_ids"].shape[0] == b1["input_ids"].shape[0]
 
 
+@pytest.mark.slow
 def test_waveform_forward_end_to_end(tmp_path):
     """Raw waveforms through the on-device front end into audio TASU."""
     from ps_slm_tpu.models.tasu import forward, model_factory

@@ -4,6 +4,7 @@ single-frame audio — paths where static-shape masking must not blow up."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ps_slm_tpu.config import ModelConfig, TrainConfig
 from ps_slm_tpu.models.tasu import forward, model_factory
@@ -82,6 +83,7 @@ def test_forward_with_empty_gt_row():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_forward_single_frame_audio():
     tc = TrainConfig(ctc_posterior=True, do_psd=True)
     mc = ModelConfig(

@@ -7,6 +7,8 @@ import pytest
 from ps_slm_tpu.ops.merge import merge_audio_text
 from ps_slm_tpu.ops.psd import psd
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
+
 SPEECH = 999
 
 

@@ -9,6 +9,8 @@ import pytest
 from ps_slm_tpu.inference.generate import beam_generate, greedy_generate
 from ps_slm_tpu.models import qwen2
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
+
 EOS = 9
 
 

@@ -18,6 +18,8 @@ from ps_slm_tpu.models import qwen2  # noqa: E402
 
 from test_qwen2_parity import _build_pair  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
+
 EOS = 5
 PAD = 7
 

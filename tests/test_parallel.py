@@ -16,6 +16,8 @@ from ps_slm_tpu.parallel import mesh as meshlib
 from ps_slm_tpu.training.step import make_train_step
 from ps_slm_tpu.training.train_state import build_optimizer, create_train_state
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
+
 SPEECH = 250
 
 

@@ -46,6 +46,7 @@ def test_shapes_and_grads(name, out_dim, t_out):
     )
 
 
+@pytest.mark.slow
 def test_qformer_outputs_query_len():
     cfg = _cfg("q-former", qformer_layers=2, query_len=8)
     p = proj.init_projector(jax.random.PRNGKey(1), cfg)

@@ -4,10 +4,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from ps_slm_tpu.models.quantization import (
     dequantize_kernel, dequantize_llm, q8_matmul, quantize_kernel,
     quantize_llm,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
 
 
 def test_quantize_roundtrip_error():

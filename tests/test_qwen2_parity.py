@@ -15,6 +15,8 @@ transformers = pytest.importorskip("transformers")
 
 from ps_slm_tpu.models import qwen2
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
+
 
 def _build_pair(tie: bool):
     from transformers import Qwen2Config as HFConfig

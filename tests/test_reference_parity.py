@@ -23,6 +23,8 @@ from ps_slm_tpu.ops.pseudo_posterior import (  # noqa: E402
 
 import reference_oracle as ro  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
+
 SPEECH = 99
 PAD = 0
 IGNORE = -100

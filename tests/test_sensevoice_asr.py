@@ -6,9 +6,13 @@ import numpy as np
 import optax
 
 from ps_slm_tpu.models import sensevoice as sv
+import pytest
+
 from ps_slm_tpu.models.sensevoice_asr import (
     encoder_train_loss, inference, rich_ce_loss,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
 
 
 class _TinyTok:

@@ -19,6 +19,8 @@ import torch.nn.functional as F  # noqa: E402
 
 from ps_slm_tpu.models import sensevoice as sv  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
+
 
 def _torch_pe(t, depth):
     positions = torch.arange(1, t + 1, dtype=torch.float32)

@@ -86,6 +86,7 @@ def test_text_only_tasu_noise():
     _check(model, _mk_batch(np.random.default_rng(1), with_audio=False))
 
 
+@pytest.mark.slow
 def test_text_only_tasu_insertion_noise():
     """insert_prob is honored end-to-end (ps-slm.py:388-399), not ignored."""
     model, _ = _mk_model(
@@ -140,6 +141,7 @@ def test_lora_flags():
     assert all(jax.tree_util.tree_leaves(mask["projector"]))
 
 
+@pytest.mark.slow
 def test_lora_dropout_active_in_training():
     """lora_dropout is honored (peft semantics), not silently carried."""
     model, tc = _mk_model(
