@@ -373,12 +373,11 @@ def forward(
     #   3. chunked/rematerialized CE above ~1.5 GB of logits.
     b_, t_ = labels.shape
     text_len = batch["input_ids"].shape[1]
-    max_valid = b_ * text_len
-    if max_valid <= (b_ * (t_ - 1)) // 2:
+    if text_len <= (t_ - 1) // 2:
         from ps_slm_tpu.ops.ce_loss import gathered_ce_loss
 
-        # round up to a full MXU tile for the [M, V] unembed matmul
-        max_valid = min(-(-max_valid // 128) * 128, b_ * (t_ - 1))
+        # per-row bound = pre-merge text length, rounded to a sublane tile
+        max_valid = min(-(-text_len // 8) * 8, t_ - 1)
         loss, acc, ntok = gathered_ce_loss(
             hidden, w, labels, max_valid=max_valid, ignore_id=IGNORE_ID
         )

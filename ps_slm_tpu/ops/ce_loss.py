@@ -103,31 +103,39 @@ def gathered_ce_loss(
     """Causal-shift CE over the valid-label positions only.
 
     ``max_valid`` must be a static upper bound on the number of positions
-    with labels != ignore_id after the shift (for merged TASU batches:
-    B x text_len, since audio spans never carry labels).  Positions beyond
-    the bound would be silently dropped, so callers must size it from the
-    pre-merge text length.
+    *per row* with labels != ignore_id after the shift (for merged TASU
+    batches: the pre-merge text length, since audio spans never carry
+    labels).  Positions beyond the bound would be silently dropped, so
+    callers must size it from the pre-merge text length.
+
+    The compaction is per-row (argsort along the time axis only) so the
+    batch dimension — and its data/fsdp sharding — stays intact: no
+    cross-device all-gather is needed on a mesh.
 
     Returns (loss, acc, ntokens) — means over valid positions, identical to
     the naive full-logits path.
     """
     b, t, h = hidden.shape
-    x = hidden[:, :-1].reshape(b * (t - 1), h)
-    y = labels[:, 1:].reshape(b * (t - 1)).astype(jnp.int32)
+    x = hidden[:, :-1]                                    # [B, T-1, H]
+    y = labels[:, 1:].astype(jnp.int32)                   # [B, T-1]
     valid = y != ignore_id
-    m = min(max_valid, b * (t - 1))
-    # stable sort on ~valid floats valid rows to the front, preserving order
-    order = jnp.argsort(jnp.logical_not(valid), stable=True)[:m]
-    xs = jnp.take(x, order, axis=0)                       # [M, H]
-    ys = jnp.take(y, order)
-    vs = jnp.take(valid, order)
+    m = min(max_valid, t - 1)
+    # stable sort on ~valid floats each row's valid positions to the front
+    order = jnp.argsort(
+        jnp.logical_not(valid), axis=1, stable=True
+    )[:, :m]                                              # [B, m]
+    xs = jnp.take_along_axis(x, order[..., None], axis=1)  # [B, m, H]
+    ys = jnp.take_along_axis(y, order, axis=1)
+    vs = jnp.take_along_axis(valid, order, axis=1)
 
-    logits = (xs.astype(unembed.dtype) @ unembed).astype(jnp.float32)  # [M, V]
+    logits = (
+        xs.astype(unembed.dtype) @ unembed
+    ).astype(jnp.float32)                                  # [B, m, V]
     if logit_bias is not None:
         logits = logits + logit_bias
     safe = jnp.where(vs, ys, 0)
     lse = jax.nn.logsumexp(logits, axis=-1)
-    gathered = jnp.take_along_axis(logits, safe[:, None], axis=1)[:, 0]
+    gathered = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
     nll = jnp.where(vs, lse - gathered, 0.0)
     pred = jnp.argmax(logits, axis=-1)
     ntok = jnp.sum(vs)
