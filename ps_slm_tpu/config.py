@@ -57,6 +57,14 @@ class FbankConfig:
     lfr_m: int = 7
     lfr_n: int = 6
     cmvn_path: Optional[str] = None  # am.mvn global CMVN stats
+    # SpecAugment on the LFR features during training.  Default off: the
+    # reference carries the capability but comments the call out
+    # (SenseVoice.py:724-725); enable with ++dataset_config.fbank.specaug=true.
+    specaug: bool = False
+    specaug_t_masks: int = 2
+    specaug_t_width: int = 50
+    specaug_f_masks: int = 2
+    specaug_f_width: int = 10
 
 
 @dataclass

@@ -289,6 +289,12 @@ def frontend(
     feats, flens = lfr(feats, flens, cfg.lfr_m, cfg.lfr_n)
     if cmvn is not None:
         feats = apply_cmvn(feats, cmvn[0], cmvn[1])
+    if train and cfg.specaug and key is not None:
+        feats = spec_augment(
+            feats, flens, jax.random.fold_in(key, 7),
+            num_t_masks=cfg.specaug_t_masks, t_width=cfg.specaug_t_width,
+            num_f_masks=cfg.specaug_f_masks, f_width=cfg.specaug_f_width,
+        )
     return feats, flens
 
 

@@ -69,6 +69,45 @@ def characterize(text: str) -> List[str]:
     return tokens
 
 
+def strip_tags(token: str) -> str:
+    """Drop ``<...>`` spans inside a token (wenet stripoff_tags; on by
+    default there via the module-global ``remove_tag = True``)."""
+    out = []
+    i = 0
+    while i < len(token):
+        if token[i] == "<":
+            j = token.find(">", i)
+            if j == -1:
+                break
+            i = j + 1
+        else:
+            out.append(token[i])
+            i += 1
+    return "".join(out)
+
+
+def normalize(
+    tokens: List[str], ignore_words=frozenset(), case_sensitive: bool = False,
+    split: Optional[Dict[str, List[str]]] = None, remove_tag: bool = True,
+) -> List[str]:
+    """wenet ``normalize``: upper-case, drop ignore words, strip tags,
+    expand split-file words."""
+    out: List[str] = []
+    for token in tokens:
+        x = token if case_sensitive else token.upper()
+        if x in ignore_words:
+            continue
+        if remove_tag:
+            x = strip_tags(x)
+        if not x:
+            continue
+        if split and x in split:
+            out.extend(split[x])
+        else:
+            out.append(x)
+    return out
+
+
 def default_cluster(token: str) -> str:
     """Language cluster of a token (wenet default_cluster semantics)."""
     if not token:
@@ -216,10 +255,14 @@ def read_keyed_file(path: str) -> Dict[str, str]:
 def score_files(
     ref_path: str, hyp_path: str, *, char: bool = True,
     case_sensitive: bool = False, verbose: bool = False,
+    remove_tag: bool = True, ignore_words=frozenset(),
+    split: Optional[Dict[str, List[str]]] = None,
     stream=sys.stdout,
 ) -> Dict:
     refs = read_keyed_file(ref_path)
     hyps = read_keyed_file(hyp_path)
+    if not case_sensitive:
+        ignore_words = {w.upper() for w in ignore_words}
     calc = Calculator()
     missing = 0
     for key, ref_text in refs.items():
@@ -232,6 +275,8 @@ def score_files(
             hyp_text = hyp_text.upper()
         lab = characterize(ref_text) if char else ref_text.split()
         rec = characterize(hyp_text) if char else hyp_text.split()
+        lab = normalize(lab, ignore_words, case_sensitive, split, remove_tag)
+        rec = normalize(rec, ignore_words, case_sensitive, split, remove_tag)
         result = calc.calculate(lab, rec)
         if verbose:
             stream.write(f"utt: {key}\n")
@@ -266,15 +311,47 @@ def score_files(
     return {"wer": wer_percent(overall), **overall}
 
 
+def _read_ignore_file(path: str) -> set:
+    out = set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.add(line)
+    return out
+
+
+def _read_split_file(path: str) -> Dict[str, List[str]]:
+    out: Dict[str, List[str]] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            words = line.strip().split()
+            if len(words) >= 2:
+                out[words[0]] = words[1:]
+    return out
+
+
 def main(argv=None):
+    """Option surface mirrors the wenet CLI (wenet_compute_cer.py:296-380):
+    --char, --v, --cs, --rt (tag strip, default ON), --ig=<file>,
+    --splitfile=<file>."""
     argv = argv if argv is not None else sys.argv[1:]
     char = True
     verbose = False
     case_sensitive = False
+    remove_tag = True
+    ignore_words: set = set()
+    split: Optional[Dict[str, List[str]]] = None
     paths = []
     for a in argv:
         if a.startswith("--char"):
             char = a.split("=")[-1] in ("1", "true", "")
+        elif a.startswith("--ig="):
+            ignore_words = _read_ignore_file(a.split("=", 1)[1])
+        elif a.startswith("--splitfile="):
+            split = _read_split_file(a.split("=", 1)[1])
+        elif a.startswith("--rt"):
+            remove_tag = a.split("=")[-1] in ("1", "true", "")
         elif a.startswith("-v") or a.startswith("--v"):
             verbose = a.split("=")[-1] in ("1", "true", "-v", "")
         elif a.startswith("--cs"):
@@ -283,12 +360,17 @@ def main(argv=None):
             paths.append(a)
     if len(paths) != 2:
         print(
-            "usage: python -m ps_slm_tpu.tools.wer [--char=1] [-v=1] ref hyp"
+            "usage: python -m ps_slm_tpu.tools.wer [--char=1] [-v=1] "
+            "[--cs=0] [--rt=1] [--ig=ignore_file] [--splitfile=splits] "
+            "ref hyp"
         )
         return 2
+    if split and not case_sensitive:
+        split = {k: [w.upper() for w in v] for k, v in split.items()}
     score_files(
         paths[0], paths[1], char=char, verbose=verbose,
-        case_sensitive=case_sensitive,
+        case_sensitive=case_sensitive, remove_tag=remove_tag,
+        ignore_words=ignore_words, split=split,
     )
     return 0
 

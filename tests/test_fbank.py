@@ -163,3 +163,36 @@ def test_whisper_log_mel_properties():
     # trim path
     long = jnp.asarray(rng.normal(size=(1, 500000)).astype(np.float32))
     assert pad_or_trim(long).shape == (1, 480000)
+
+
+def test_specaug_wiring_in_frontend():
+    """specaug=true masks time/freq strips during training only; default off
+    (reference carries but disables it, SenseVoice.py:724-725)."""
+    import dataclasses
+
+    import jax
+
+    from ps_slm_tpu.config import FbankConfig
+    from ps_slm_tpu.ops.fbank import frontend
+
+    rng = np.random.default_rng(11)
+    wav = jnp.asarray(rng.normal(size=(2, 16000)).astype(np.float32) * 0.1)
+    lens = jnp.asarray([16000, 12000], np.int32)
+    cfg_off = FbankConfig(dither=0.0)
+    cfg_on = dataclasses.replace(
+        cfg_off, specaug=True, specaug_t_masks=2, specaug_t_width=8,
+        specaug_f_masks=2, specaug_f_width=40,
+    )
+    key = jax.random.PRNGKey(0)
+
+    base, bl = frontend(wav, lens, key, cfg=cfg_off, train=True)
+    aug, al = frontend(wav, lens, key, cfg=cfg_on, train=True)
+    assert base.shape == aug.shape and (np.asarray(bl) == np.asarray(al)).all()
+    assert not np.allclose(np.asarray(base), np.asarray(aug))
+    # masked entries are exactly zero where base wasn't
+    diff = np.asarray(base) != np.asarray(aug)
+    assert (np.asarray(aug)[diff] == 0.0).all()
+    # eval mode ignores specaug even when enabled
+    ev_on, _ = frontend(wav, lens, key, cfg=cfg_on, train=False)
+    ev_off, _ = frontend(wav, lens, key, cfg=cfg_off, train=False)
+    np.testing.assert_array_equal(np.asarray(ev_on), np.asarray(ev_off))

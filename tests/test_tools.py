@@ -87,3 +87,37 @@ def test_clean_marks_matches_reference_cleaner(tmp_path):
     p.write_text("u1\thi, there!\nu2\tok…\n")
     strip_all_punct(str(p))
     assert p.read_text() == "u1\thi there\nu2\tok\n"
+
+
+def test_wer_tag_strip_ignore_and_split(tmp_path):
+    """wenet option parity: --rt default strips <tags>; --ig drops listed
+    words; --splitfile expands compounds (wenet_compute_cer.py:48-82)."""
+    from ps_slm_tpu.tools.wer import main, normalize, score_files, strip_tags
+
+    assert strip_tags("<noise>") == ""
+    assert strip_tags("a<b>c") == "ac"
+    assert normalize(["<noise>", "HELLO"], set(), False) == ["HELLO"]
+    assert normalize(["hello"], {"HELLO"}, False) == []
+    assert normalize(["A-B"], set(), False, {"A-B": ["A", "B"]}) == ["A", "B"]
+
+    ref = tmp_path / "ref"
+    hyp = tmp_path / "hyp"
+    ref.write_text("u1\thello world\n")
+    hyp.write_text("u1\t<noise> hello world\n")
+    # tag stripped by default -> perfect score
+    import io
+
+    s = io.StringIO()
+    r = score_files(str(ref), str(hyp), char=True, stream=s)
+    assert r["wer"] == 0.0
+
+    # --rt=0 keeps the tag as an insertion
+    s = io.StringIO()
+    r = score_files(str(ref), str(hyp), char=True, remove_tag=False, stream=s)
+    assert r["ins"] == 1
+
+    # ignore file drops a word from both sides
+    ig = tmp_path / "ig"
+    ig.write_text("world\n")
+    rc = main([f"--ig={ig}", "--char=1", "-v=0", str(ref), str(hyp)])
+    assert rc == 0
