@@ -105,6 +105,82 @@ def main():
             "batch": batch, "frames": frames, "max_new_tokens": max_new,
         }))
 
+    _ragged_comparison(
+        model, jbatch, batch, frames, max_new, eos, on_tpu,
+    )
+
+
+def _ragged_comparison(model, jbatch, batch, frames, max_new, eos, on_tpu):
+    """Continuous slot pool vs static batching under ragged completion
+    lengths.  Random-init models never emit EOS, so per-request completion
+    lengths L_i are drawn once and applied identically to both modes: the
+    static batch runs to its longest member (what HF generate does when EOS
+    times are ragged); the continuous pool frees each slot at its own L_i
+    (via stop_after — the mechanics are the same as a real EOS)."""
+    import jax.numpy as jnp
+
+    from ps_slm_tpu.inference.continuous import ContinuousGreedyDecoder
+    from ps_slm_tpu.inference.generate import generate
+
+    rng = np.random.default_rng(7)
+    n_req = 4 * batch
+    ragged_max = max_new * (4 if on_tpu else 2)
+    lengths = rng.integers(max_new // 4, ragged_max + 1, size=n_req)
+    s = int(jbatch["input_ids"].shape[1])
+
+    def request(i):
+        return {
+            k: v[i % batch: i % batch + 1] for k, v in jbatch.items()
+        }
+
+    # --- static: batches in submission order; each runs to its longest ---
+    group_maxes = [
+        -(-int(np.max(lengths[b0: b0 + batch])) // 16) * 16
+        for b0 in range(0, n_req, batch)
+    ]
+    for gm in sorted(set(group_maxes)):  # compile warmup, untimed
+        _ = np.asarray(generate(
+            model, model.params, jbatch, eos_token_id=eos,
+            num_beams=1, max_new_tokens=gm,
+        ))
+    t0 = time.perf_counter()
+    for gm in group_maxes:
+        out = generate(
+            model, model.params, jbatch, eos_token_id=eos,
+            num_beams=1, max_new_tokens=gm,
+        )
+        _ = np.asarray(out)
+    static_dt = time.perf_counter() - t0
+
+    # --- continuous: slot pool with per-request stop_after ---
+    prefill_len = s + frames  # merged bucket bound for this workload
+    caps = {f"r{i}": int(lengths[i]) for i in range(n_req)}
+
+    def run_pool():
+        dec = ContinuousGreedyDecoder(
+            model, model.params, num_slots=batch, prefill_len=prefill_len,
+            max_new_tokens=ragged_max, eos_token_id=eos, sync_every=8,
+        )
+        reqs = ((f"r{i}", request(i)) for i in range(n_req))
+        return sum(1 for _ in dec.run(reqs, stop_after=caps))
+
+    run_pool()  # compile warmup (insert + pool step), untimed
+    t0 = time.perf_counter()
+    done = run_pool()
+    cont_dt = time.perf_counter() - t0
+    assert done == n_req
+
+    tokens = int(lengths.sum())
+    print(json.dumps({
+        "metric": "decode_continuous_vs_static_ragged",
+        "n_requests": n_req,
+        "tokens": tokens,
+        "static_tokens_per_sec": round(tokens / static_dt, 1),
+        "continuous_tokens_per_sec": round(tokens / cont_dt, 1),
+        "speedup": round(static_dt / cont_dt, 3),
+        "slots": batch, "length_range": [int(lengths.min()), int(lengths.max())],
+    }))
+
 
 if __name__ == "__main__":
     main()

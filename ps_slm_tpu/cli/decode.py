@@ -79,6 +79,12 @@ def main(argv=None):
     audio_secs = 0.0
     n_tokens = 0
 
+    if tc.continuous_batching and tc.num_beams == 1:
+        return _decode_continuous(
+            model, tc, dc, tokenizer, encoder_tokenizer,
+            num_hosts, host_id, pred_path, gt_path, logger,
+        )
+
     with open(pred_path, "w") as fpred, open(gt_path, "w") as fgt:
         for batch in batches:
             jbatch = {
@@ -120,6 +126,67 @@ def main(argv=None):
         f"decode done: {pred_path}; {rtf_inv:.1f} audio-s/s "
         f"(RTF {1.0 / rtf_inv if rtf_inv else float('inf'):.4f}), "
         f"{toks_per_sec:.1f} tokens/s"
+    )
+    return 0
+
+
+def _decode_continuous(
+    model, tc, dc, tokenizer, encoder_tokenizer,
+    num_hosts, host_id, pred_path, gt_path, logger,
+) -> int:
+    """Slot-pool greedy decode (inference/continuous.py): per-request
+    submission with immediate refill on EOS; host shard by sample index."""
+    import time
+
+    from ps_slm_tpu.data.dataset import Collator, MultiTaskDataset
+    from ps_slm_tpu.inference.continuous import ContinuousGreedyDecoder
+
+    ds = MultiTaskDataset(
+        dc, tokenizer, "test", encoder_tokenizer=encoder_tokenizer,
+    )
+    coll = Collator(tokenizer, dc, inference_mode=True)
+    targets: dict = {}
+    stats = {"audio": 0.0, "n": 0}
+
+    def requests():
+        for i, s in enumerate(ds):
+            if i % num_hosts != host_id:
+                continue
+            hb = coll([s])
+            jb = {
+                k: jnp.asarray(v) for k, v in hb.items()
+                if isinstance(v, np.ndarray)
+            }
+            targets[s.key] = s.target
+            stats["audio"] += (
+                len(s.waveform) / 16000.0 if s.waveform is not None
+                else s.est_frames * 0.060
+            )
+            stats["n"] += 1
+            yield s.key, jb
+
+    dec = ContinuousGreedyDecoder(
+        model, model.params,
+        num_slots=tc.decode_slots,
+        prefill_len=dc.eval_max_frame_length,
+        max_new_tokens=tc.max_new_tokens,
+        eos_token_id=tokenizer.eos_token_id,
+        sync_every=tc.decode_sync_every,
+    )
+    n_tokens = 0
+    t0 = time.perf_counter()
+    with open(pred_path, "w") as fpred, open(gt_path, "w") as fgt:
+        for key, toks in dec.run(requests()):
+            n_tokens += len(toks)
+            fpred.write(f"{key}\t{tokenizer.decode(toks)}\n")
+            fgt.write(f"{key}\t{targets.pop(key)}\n")
+    dt = time.perf_counter() - t0
+    rtf_inv = stats["audio"] / max(dt, 1e-9)
+    logger.info(
+        f"decode done ({stats['n']} utts, continuous x{tc.decode_slots}): "
+        f"{pred_path}; {rtf_inv:.1f} audio-s/s "
+        f"(RTF {1.0 / rtf_inv if rtf_inv else float('inf'):.4f}), "
+        f"{n_tokens / max(dt, 1e-9):.1f} tokens/s"
     )
     return 0
 

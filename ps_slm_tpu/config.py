@@ -157,6 +157,12 @@ class TrainConfig:
     repetition_penalty: float = 1.0
     length_penalty: float = 1.0
     temperature: float = 1.0
+    # continuous (slot-pool) batch decode — greedy only; finished slots are
+    # refilled immediately instead of waiting for the batch's longest
+    # sequence (inference/continuous.py)
+    continuous_batching: bool = False
+    decode_slots: int = 8
+    decode_sync_every: int = 8
 
 
 @dataclass

@@ -1,0 +1,314 @@
+"""Continuous (slot-based) batch decoding.
+
+The static decoder (inference/generate.py) pads every bucket and waits for
+the *longest* sequence in a batch; ragged output lengths leave slots idle.
+This module keeps a fixed pool of ``num_slots`` sequences in flight over one
+shared KV cache: when a slot emits EOS it is immediately refilled with the
+next request's prefill, so the decode matmuls stay at full batch.
+
+Replaces the serving half the reference delegates to HF ``generate``
+(ps-slm.py:660-675) with a TPU-native design:
+
+  * one compile for the pool step (``lax.scan`` over ``sync_every``
+    single-token steps; per-slot cache write offsets + position ids)
+  * one compile for slot insertion (B=1 prefill at a fixed prefill bucket,
+    rows copied into the pool cache at the slot index).  The prefill's first
+    token rides the pool state (``tok0`` channel) and surfaces in the next
+    chunk harvest — inserts never synchronize the host.
+  * **pipelined harvest**: chunk k+1 is dispatched before chunk k's tokens
+    are pulled, so the device->host sync (expensive on relay backends)
+    overlaps the next chunk's compute.  A finished slot decodes at most one
+    extra chunk before its refill lands; stale columns are dropped by an
+    epoch check.
+
+Greedy only — beam hypotheses share prefixes and cannot be slot-swapped
+independently; use the static ``beam_generate`` for beam search.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ps_slm_tpu.models import qwen2
+
+
+def _left_pad_merged(merged, prefill_len: int):
+    """Left-pad a merged B=1 prefill to the fixed pool prefill bucket."""
+    s = merged.embeds.shape[1]
+    if s > prefill_len:
+        raise ValueError(
+            f"merged length {s} exceeds pool prefill bucket {prefill_len}; "
+            "raise prefill_len or the dataset buckets"
+        )
+    pad = prefill_len - s
+    if pad == 0:
+        return merged.embeds, merged.attention_mask, merged.position_ids
+    embeds = jnp.pad(merged.embeds, ((0, 0), (pad, 0), (0, 0)))
+    mask = jnp.pad(merged.attention_mask, ((0, 0), (pad, 0)))
+    pos = jnp.pad(merged.position_ids, ((0, 0), (pad, 0)))
+    return embeds, mask, pos
+
+
+# pool state tuple:
+#   (cache, full_mask, positions, write_idx, last_tok, active, gen,
+#    tok0_buf, tok0_fresh)
+def _init_pool(cfg, num_slots: int, capacity: int, eos: int, dtype):
+    return (
+        qwen2.init_cache(cfg, num_slots, capacity, dtype=dtype),
+        jnp.zeros((num_slots, capacity), bool),
+        jnp.zeros((num_slots,), jnp.int32),
+        jnp.zeros((num_slots,), jnp.int32),
+        jnp.full((num_slots,), eos, jnp.int32),
+        jnp.zeros((num_slots,), bool),
+        jnp.zeros((num_slots,), jnp.int32),
+        jnp.full((num_slots,), eos, jnp.int32),
+        jnp.zeros((num_slots,), bool),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "eos_token_id", "capacity"),
+)
+def _insert_slot(
+    params, cfg, pool, slot, embeds, attn_mask, position_ids,
+    *, eos_token_id: int, capacity: int,
+):
+    """Prefill one request (B=1) and install it in pool row ``slot``.
+
+    The first generated token is kept on device (``tok0`` channel of the
+    pool state) — no host sync here.
+    """
+    dtype = params["embed_tokens"].dtype
+    cache1 = qwen2.init_cache(cfg, 1, capacity, dtype=dtype)
+    s = embeds.shape[1]
+    mask1 = jnp.zeros((1, capacity), bool).at[:, :s].set(attn_mask)
+    hidden, cache1 = qwen2.forward(
+        params, cfg, embeds.astype(dtype),
+        attention_mask=mask1, position_ids=position_ids,
+        cache=cache1, cache_index=0,
+    )
+    tok0 = jnp.argmax(
+        qwen2.unembed(params, hidden[:, -1:])[:, 0], axis=-1
+    ).astype(jnp.int32)[0]
+
+    (cache, full_mask, positions, write_idx, last_tok, active, gen,
+     tok0_buf, tok0_fresh) = pool
+    cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], cache1["k"], (0, slot, 0, 0, 0)
+        ),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], cache1["v"], (0, slot, 0, 0, 0)
+        ),
+    }
+    full_mask = jax.lax.dynamic_update_slice(full_mask, mask1, (slot, 0))
+    positions = positions.at[slot].set(position_ids[0, -1] + 1)
+    write_idx = write_idx.at[slot].set(s)
+    last_tok = last_tok.at[slot].set(tok0)
+    active = active.at[slot].set(tok0 != eos_token_id)
+    gen = gen.at[slot].set(1)
+    tok0_buf = tok0_buf.at[slot].set(tok0)
+    tok0_fresh = tok0_fresh.at[slot].set(True)
+    return (cache, full_mask, positions, write_idx, last_tok, active, gen,
+            tok0_buf, tok0_fresh)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "eos_token_id", "steps", "max_new_tokens"),
+)
+def _pool_steps(
+    params, cfg, pool, *, eos_token_id: int, steps: int, max_new_tokens: int,
+):
+    """Run ``steps`` single-token steps over the whole pool.
+
+    Inactive slots are carried masked (their emitted token is EOS and their
+    cache/mask/positions stay frozen).  Returns (pool, tokens [steps, S],
+    tok0 [S], tok0_fresh [S]) — the tok0 channel reports prefill tokens of
+    slots inserted since the last chunk and is cleared in the new pool.
+    """
+    (cache, full_mask, positions, write_idx, last_tok, active, gen,
+     tok0_buf, tok0_fresh) = pool
+
+    def body(carry, _):
+        cache, full_mask, positions, write_idx, last_tok, active, gen = carry
+        n = full_mask.shape[0]
+        rows = jnp.arange(n)
+        # expose the about-to-be-written cache cell for active slots
+        full_mask = full_mask.at[rows, write_idx].set(
+            full_mask[rows, write_idx] | active
+        )
+        emb = qwen2.embed(params, last_tok[:, None])
+        hidden, cache = qwen2.forward(
+            params, cfg, emb,
+            attention_mask=full_mask,
+            position_ids=positions[:, None],
+            cache=cache, cache_index=write_idx,
+        )
+        logits = qwen2.unembed(params, hidden)[:, 0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(active, nxt, eos_token_id)
+
+        write_idx = write_idx + active.astype(jnp.int32)
+        positions = positions + active.astype(jnp.int32)
+        gen = gen + active.astype(jnp.int32)
+        active = active & (nxt != eos_token_id) & (gen < max_new_tokens)
+        carry = (cache, full_mask, positions, write_idx, nxt, active, gen)
+        return carry, nxt
+
+    carry = (cache, full_mask, positions, write_idx, last_tok, active, gen)
+    carry, toks = jax.lax.scan(body, carry, None, length=steps)
+    new_pool = carry + (
+        tok0_buf, jnp.zeros_like(tok0_fresh),
+    )
+    return new_pool, toks, tok0_buf, tok0_fresh
+
+
+class ContinuousGreedyDecoder:
+    """Slot pool over an iterator of B=1 host batches.
+
+    ``run(batches)`` yields ``(key, np.ndarray tokens)`` in completion order
+    (EOS excluded).  ``prefill_len`` is the fixed merged-prefill bucket; all
+    requests must bucket at or below it.
+    """
+
+    def __init__(
+        self, model, params, *,
+        num_slots: int = 8,
+        prefill_len: int,
+        max_new_tokens: int = 200,
+        eos_token_id: int,
+        sync_every: int = 8,
+    ):
+        self.model = model
+        self.params = params
+        self.cfg = model.llm_cfg
+        self.num_slots = num_slots
+        self.prefill_len = prefill_len
+        self.max_new = max_new_tokens
+        self.eos = eos_token_id
+        self.sync_every = sync_every
+        self.capacity = prefill_len + max_new_tokens
+        dtype = params["llm"]["embed_tokens"].dtype
+        self.pool = _init_pool(
+            self.cfg, num_slots, self.capacity, eos_token_id, dtype
+        )
+        # host-side per-slot bookkeeping
+        self._keys: list = [None] * num_slots
+        self._toks: list = [[] for _ in range(num_slots)]
+        self._epoch: list = [0] * num_slots
+
+    def _refill(self, slot: int, batch: Dict) -> None:
+        from ps_slm_tpu.inference.generate import _merged_fn
+
+        merged = _merged_fn(self.model)(self.params, batch)
+        embeds, mask, pos = _left_pad_merged(merged, self.prefill_len)
+        self.pool = _insert_slot(
+            self.params["llm"], self.cfg, self.pool, slot,
+            embeds, mask, pos,
+            eos_token_id=self.eos, capacity=self.capacity,
+        )
+        self._toks[slot] = []
+        self._epoch[slot] += 1
+
+    def run(
+        self, batches: Iterator[Tuple[str, Dict]],
+        stop_after: Optional[Dict[str, int]] = None,
+    ) -> Iterator[Tuple[str, np.ndarray]]:
+        """``stop_after``: optional per-request token cap (app-level early
+        stop); the slot frees at the next sync boundary, like a natural
+        EOS would."""
+        batches = iter(batches)
+        free = list(range(self.num_slots))
+        exhausted = False
+        inflight = None  # (toks_dev, tok0_dev, fresh_dev, snapshot)
+
+        def cap(key):
+            if stop_after and key in stop_after:
+                return max(min(stop_after[key], self.max_new), 1)
+            return self.max_new
+
+        def finish(slot):
+            key = self._keys[slot]
+            toks = [t for t in self._toks[slot] if t != self.eos][: cap(key)]
+            self._keys[slot] = None
+            self._toks[slot] = []
+            free.append(slot)
+            return key, np.asarray(toks, np.int32)
+
+        while True:
+            while free and not exhausted:
+                try:
+                    key, batch = next(batches)
+                except StopIteration:
+                    exhausted = True
+                    break
+                slot = free.pop()
+                self._keys[slot] = key
+                self._refill(slot, batch)
+
+            busy = [
+                i for i in range(self.num_slots) if self._keys[i] is not None
+            ]
+            if not busy and inflight is None:
+                if exhausted:
+                    return
+                continue
+
+            # dispatch chunk k+1 before harvesting chunk k: the host sync
+            # below overlaps this chunk's device time
+            nxt = None
+            if busy:
+                self.pool, toks, tok0, fresh = _pool_steps(
+                    self.params["llm"], self.cfg, self.pool,
+                    eos_token_id=self.eos, steps=self.sync_every,
+                    max_new_tokens=self.max_new,
+                )
+                snapshot = [(i, self._keys[i], self._epoch[i]) for i in busy]
+                nxt = (toks, tok0, fresh, snapshot)
+
+            if inflight is not None:
+                toks, tok0, fresh, snapshot = inflight
+                toks, tok0, fresh = jax.device_get((toks, tok0, fresh))
+                for slot, key, epoch in snapshot:
+                    if self._keys[slot] != key or self._epoch[slot] != epoch:
+                        continue  # finished and refilled; stale column
+                    if fresh[slot]:
+                        # the prefill token of a slot inserted just before
+                        # this chunk was dispatched
+                        self._toks[slot].append(int(tok0[slot]))
+                    if self._toks[slot] and (
+                        self._toks[slot][-1] == self.eos
+                        or len(self._toks[slot]) >= cap(key)
+                    ):
+                        yield finish(slot)
+                        continue
+                    for t in toks[:, slot]:
+                        self._toks[slot].append(int(t))
+                        if t == self.eos:
+                            break
+                    if self._toks[slot][-1] == self.eos or (
+                        len(self._toks[slot]) >= cap(key)
+                    ):
+                        yield finish(slot)
+
+            inflight = nxt
+
+
+def decode_continuous(
+    model, params, batches: Iterator[Tuple[str, Dict]], *,
+    prefill_len: int, max_new_tokens: int = 200, eos_token_id: int,
+    num_slots: int = 8, sync_every: int = 8,
+) -> Iterator[Tuple[str, np.ndarray]]:
+    """Convenience wrapper: decode an iterator of (key, B=1 device batch)."""
+    dec = ContinuousGreedyDecoder(
+        model, params, num_slots=num_slots, prefill_len=prefill_len,
+        max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+        sync_every=sync_every,
+    )
+    return dec.run(batches)

@@ -324,12 +324,20 @@ def _block(
 
     if cache_kv is not None:
         k_cache, v_cache = cache_kv
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0)
-        )
+        if jnp.ndim(cache_index) == 1:
+            # per-row write offsets (continuous-batching slot pool: every
+            # sequence in the batch is at its own length)
+            rows = jnp.arange(b)[:, None]
+            cols = cache_index[:, None] + jnp.arange(s)[None, :]
+            k_cache = k_cache.at[rows, cols].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[rows, cols].set(v.astype(v_cache.dtype))
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0)
+            )
         attn = mha_reference(
             q, k_cache, v_cache, kv_mask=attn_mask, causal=True,
             q_offset=cache_index,
