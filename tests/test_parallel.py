@@ -257,3 +257,63 @@ def test_tensor_parallel_sharding_and_step():
         jax.random.PRNGKey(3),
     )
     np.testing.assert_allclose(float(loss_dp), float(loss_tp), rtol=2e-5)
+
+
+def test_gradient_accumulation_equals_full_batch():
+    """k=2 accumulation over two half batches == one full-batch step
+    (ds_config.json gradient_accumulation_steps semantics)."""
+    import dataclasses
+
+    tc = TrainConfig(
+        ctc_posterior=True, gt_emb=True, gt_emb_noise=False,
+        freeze_llm=True, freeze_encoder=True, lr=1e-3,
+        warmup_steps=1, total_steps=100,
+    )
+    mc = ModelConfig(
+        llm_path="", encoder_path=None, encoder_projector="linear-silu",
+        encoder_dim=11, llm_dim=64, encoder_projector_ds_rate=1,
+    )
+    model = model_factory(tc, mc, rng=jax.random.PRNGKey(0))
+    model.speech_token_id = SPEECH
+    model.use_flash = False
+
+    rng = np.random.default_rng(3)
+    b, s = 4, 12
+    ids = rng.integers(1, 200, size=(b, s)).astype(np.int32)
+    ids[:, 3] = SPEECH
+    labels = ids.copy()
+    labels[:, :5] = -100
+    gt = rng.integers(1, 11, size=(b, 6)).astype(np.int32)
+    full = {
+        "input_ids": ids, "attention_mask": np.ones((b, s), bool),
+        "labels": labels, "gt_ids": gt,
+        "gt_lens": np.full((b,), 6, np.int32),
+    }
+    halves = [
+        {k: v[i: i + 2] for k, v in full.items()} for i in (0, 2)
+    ]
+
+    trainable = trainable_mask(model, tc)
+    key = jax.random.PRNGKey(0)
+
+    def fresh_params():  # train steps donate their state; copy per run
+        return jax.tree_util.tree_map(jnp.array, model.params)
+
+    tx1, _ = build_optimizer(tc, trainable)
+    s1 = create_train_state(fresh_params(), tx1, trainable)
+    step1 = make_train_step(model, tx1, trainable)
+    s1, _ = step1(s1, {k: jnp.asarray(v) for k, v in full.items()}, key)
+
+    tc2 = dataclasses.replace(tc, gradient_accumulation_steps=2)
+    tx2, _ = build_optimizer(tc2, trainable)
+    s2 = create_train_state(fresh_params(), tx2, trainable)
+    step2 = make_train_step(model, tx2, trainable)
+    for h in halves:
+        s2, _ = step2(s2, {k: jnp.asarray(v) for k, v in h.items()}, key)
+
+    p1 = jax.tree_util.tree_leaves(s1.params["projector"])
+    p2 = jax.tree_util.tree_leaves(s2.params["projector"])
+    for a, b_ in zip(p1, p2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-6,
+        )
