@@ -105,12 +105,16 @@ def main(argv=None):
         tc.batch_size_training
         if tc.batching_strategy != "dynamic" else None
     )
+    # pad each host's batch to its device count so the batch axis divides
+    # the mesh's data×fsdp sharding (padded rows are loss-masked)
+    batch_axes = mesh.shape["data"] * mesh.shape["fsdp"]
+    batch_multiple = max(1, batch_axes // num_hosts)
 
     def train_batches(epoch):
         return iter(dataset_factory(
             dc, tokenizer, "train", encoder_tokenizer=encoder_tokenizer,
             num_hosts=num_hosts, host_id=host_id,
-            fixed_batch_size=fixed_bs,
+            fixed_batch_size=fixed_bs, batch_multiple=batch_multiple,
             seed=tc.seed + epoch,  # fresh prompt draws per epoch
         ))
 
@@ -120,6 +124,7 @@ def main(argv=None):
             return iter(dataset_factory(
                 dc, tokenizer, "val", encoder_tokenizer=encoder_tokenizer,
                 num_hosts=num_hosts, host_id=host_id,
+                batch_multiple=batch_multiple,
             ))
 
     def checkpoint_fn(state, tag):

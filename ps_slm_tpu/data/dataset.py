@@ -387,6 +387,7 @@ def get_speech_dataset(
     dataset_config, tokenizer, split: str, encoder_tokenizer=None,
     num_hosts: int = 1, host_id: int = 0, load_audio: bool = True,
     fixed_batch_size: Optional[int] = None, seed: int = 42,
+    batch_multiple: int = 1,
 ):
     """Reference ``get_speech_dataset`` (speech_dataset_large.py:340-346).
 
@@ -394,6 +395,9 @@ def get_speech_dataset(
     (utils/config_utils.py:75-84); None = token-budget dynamic batching.
     ``seed`` controls prompt choice; pass seed+epoch for fresh prompt draws
     per epoch (all hosts must agree for deterministic global batching).
+    ``batch_multiple``: pad each per-host batch to this multiple (set it to
+    the per-host device count so the batch axis divides the mesh's
+    data×fsdp sharding; padded rows carry batch_valid=False).
     """
     ds = MultiTaskDataset(
         dataset_config, tokenizer, split,
@@ -409,5 +413,6 @@ def get_speech_dataset(
     return GlobalBatcher(
         ds, coll, budget, dataset_config.ds_rate,
         num_hosts=num_hosts, host_id=host_id,
+        batch_multiple=batch_multiple,
         fixed_batch_size=fixed_batch_size,
     )

@@ -141,8 +141,20 @@ def shard_params(params: Params, mesh: Mesh, min_size: int = 2 ** 16) -> Params:
 
 
 def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarray]:
-    """Place a (host-global) batch with the batch axis split over data×fsdp."""
+    """Place a batch with the batch axis split over data×fsdp.
+
+    Single process: ``batch`` is the global batch, placed directly.
+    Multi process (``jax.distributed``): ``batch`` is this host's shard (the
+    ``GlobalBatcher`` host slice) and the global array is assembled from the
+    per-process chunks — the TPU-native replacement for the reference's
+    per-rank DataLoader + NCCL world (``deepspeed_utils.py:154-178``).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

@@ -153,3 +153,21 @@ def test_decode_cli_and_scoring(fixtures):
 
     res = score_files(gt, pred, stream=io.StringIO())
     assert "wer" in res and res["all"] > 0
+
+
+def test_finetune_cli_uneven_buckets_pad_to_mesh(fixtures):
+    """Dynamic buckets whose size doesn't divide the 8-device mesh batch
+    axis must be padded (batch_multiple wiring), not crash device_put."""
+    from ps_slm_tpu.cli.finetune import main
+
+    out_dir = fixtures / "out_uneven"
+    rc = main(_common_args(fixtures) + [
+        f"++train_config.output_dir={out_dir}",
+        "++train_config.num_epochs=1",
+        # tight budget -> buckets of ~2-3 samples (< 8 devices)
+        "++dataset_config.train_max_frame_length=50",
+        "++train_config.lr=1e-3",
+        "++train_config.warmup_steps=1",
+        "++train_config.total_steps=20",
+    ])
+    assert rc == 0
