@@ -52,7 +52,11 @@ def main():
         )
         batch, frames, max_new = 2, 32, 8
 
-    tc = TrainConfig(ctc_posterior=True, do_psd=True)
+    # PS_BENCH_QUANT=1: int8 weight-only LLM — decode is weight-HBM-bound,
+    # so halving the weight bytes is a direct throughput win (docs/PERF.md:
+    # greedy 1169 -> 1501 tok/s, beam-4 885 -> 1042)
+    quant = os.environ.get("PS_BENCH_QUANT") == "1"
+    tc = TrainConfig(ctc_posterior=True, do_psd=True, quantization=quant)
     mc = ModelConfig(
         llm_path="", encoder_path=None, encoder_projector="linear-silu",
         encoder_dim=enc_over["vocab_size"], llm_dim=llm_over["hidden_size"],
