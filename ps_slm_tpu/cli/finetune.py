@@ -81,6 +81,11 @@ def main(argv=None):
         loaded = ckpt.import_reference_checkpoint(model, cfg.ckpt_path, dtype)
         logger.info(f"loaded {len(loaded)} tensors from {cfg.ckpt_path}")
 
+    if cfg.peft_ckpt and tc.use_peft:
+        # HF-PEFT adapter resume (reference ps-slm.py:110-113)
+        n = len(ckpt.import_peft_adapters(model, cfg.peft_ckpt, dtype))
+        logger.info(f"loaded {n} adapter tensors from {cfg.peft_ckpt}")
+
     if cfg.debug:
         import pdb
 
@@ -143,6 +148,10 @@ def main(argv=None):
                 model, os.path.join(path, "pytorch_model.bin"),
                 exclude=tuple(exclude),
             )
+            if tc.use_peft:
+                ckpt.export_peft_adapters(
+                    model, os.path.join(path, "adapter")
+                )
 
     metric_logger = MetricLogger(lc)
     try:

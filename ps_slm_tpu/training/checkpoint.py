@@ -495,6 +495,82 @@ def import_reference_checkpoint(
 
 
 # ----------------------------------------------------------------------------
+# 2b. HF-PEFT adapter interchange (adapter_model.bin layout)
+# ----------------------------------------------------------------------------
+
+# our stacked-layer projection name -> HF module path inside the LLM
+_PEFT_MODULES = {
+    "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+    "v_proj": "self_attn.v_proj", "o_proj": "self_attn.o_proj",
+    "gate_proj": "mlp.gate_proj", "up_proj": "mlp.up_proj",
+    "down_proj": "mlp.down_proj",
+}
+
+
+def export_peft_adapters(model, path: str) -> Dict[str, np.ndarray]:
+    """Write LoRA adapters in the HF-PEFT ``adapter_model.bin`` key layout
+    (``base_model.model.model.layers.{i}.<module>.lora_{A,B}.weight``) so a
+    reference user can resume them with ``PeftModel.from_pretrained``
+    (ps-slm.py:110-113).  Weights are exported pre-scaled by our per-layer
+    ``lora_scale`` relative to the alpha/r the PEFT config will apply."""
+    tensors: Dict[str, np.ndarray] = {}
+    layers = model.params["llm"]["layers"]
+    for name, hf_mod in _PEFT_MODULES.items():
+        node = layers.get(name)
+        if not isinstance(node, dict) or "lora_a" not in node:
+            continue
+        a = np.asarray(node["lora_a"], np.float32)   # [L, d_in, r]
+        bb = np.asarray(node["lora_b"], np.float32)  # [L, r, d_out]
+        for i in range(a.shape[0]):
+            pre = f"base_model.model.model.layers.{i}.{hf_mod}"
+            tensors[f"{pre}.lora_A.weight"] = a[i].T        # [r, d_in]
+            tensors[f"{pre}.lora_B.weight"] = bb[i].T       # [d_out, r]
+    if path:
+        import torch
+
+        os.makedirs(path, exist_ok=True)
+        torch.save(
+            {k: torch.from_numpy(v.copy()) for k, v in tensors.items()},
+            os.path.join(path, "adapter_model.bin"),
+        )
+    return tensors
+
+
+def import_peft_adapters(model, path_or_tensors, dtype=jnp.float32) -> list:
+    """Load an HF-PEFT adapter checkpoint (dir with adapter_model.bin, the
+    file itself, or a tensor dict) onto the LoRA leaves.  The reference's
+    ``peft_ckpt`` resume (ps-slm.py:110-113)."""
+    if isinstance(path_or_tensors, str):
+        p = path_or_tensors
+        if os.path.isdir(p):
+            p = os.path.join(p, "adapter_model.bin")
+        tensors = _torch_load_state(p)
+    else:
+        tensors = dict(path_or_tensors)
+
+    layers = model.params["llm"]["layers"]
+    loaded = []
+    for name, hf_mod in _PEFT_MODULES.items():
+        node = layers.get(name)
+        if not isinstance(node, dict) or "lora_a" not in node:
+            continue
+        a = np.asarray(node["lora_a"], np.float32).copy()
+        bb = np.asarray(node["lora_b"], np.float32).copy()
+        for i in range(a.shape[0]):
+            pre = f"base_model.model.model.layers.{i}.{hf_mod}"
+            ka, kb = f"{pre}.lora_A.weight", f"{pre}.lora_B.weight"
+            if ka in tensors:
+                a[i] = np.asarray(tensors[ka], np.float32).T
+                loaded.append(ka)
+            if kb in tensors:
+                bb[i] = np.asarray(tensors[kb], np.float32).T
+                loaded.append(kb)
+        node["lora_a"] = jnp.asarray(a, dtype)
+        node["lora_b"] = jnp.asarray(bb, dtype)
+    return loaded
+
+
+# ----------------------------------------------------------------------------
 # 1. native train-state checkpoints (Orbax)
 # ----------------------------------------------------------------------------
 

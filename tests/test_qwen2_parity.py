@@ -148,3 +148,70 @@ def test_hf_roundtrip_export():
     assert len(leaves1) == len(leaves2)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_peft_adapter_interchange_logit_parity(tmp_path):
+    """HF-PEFT adapter round trip (checkpoint.export/import_peft_adapters):
+    adapters trained in the real peft library load onto our LoRA leaves and
+    produce identical logits, and vice versa (reference peft_ckpt resume,
+    ps-slm.py:110-113)."""
+    peft = pytest.importorskip("peft")
+    from types import SimpleNamespace
+
+    import jax
+
+    from ps_slm_tpu.config import PeftConfig
+    from ps_slm_tpu.models.lora import add_lora
+    from ps_slm_tpu.training.checkpoint import (
+        export_peft_adapters, import_peft_adapters,
+    )
+
+    hf_model, params, cfg = _build_pair(tie=False)
+    r, alpha = 4, 8
+    lcfg = peft.LoraConfig(
+        r=r, lora_alpha=alpha, lora_dropout=0.0, bias="none",
+        target_modules=[
+            "q_proj", "k_proj", "v_proj", "o_proj",
+            "gate_proj", "up_proj", "down_proj",
+        ],
+        task_type="CAUSAL_LM",
+    )
+    pmodel = peft.get_peft_model(hf_model, lcfg).eval()
+    # randomize lora_B (peft inits it to zero -> adapters would be no-ops)
+    torch.manual_seed(7)
+    with torch.no_grad():
+        for name, par in pmodel.named_parameters():
+            if "lora_B" in name:
+                par.normal_(0, 0.2)
+    pmodel.save_pretrained(str(tmp_path / "adapter"), safe_serialization=False)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 9))
+    mask = np.ones((2, 9), bool)
+    with torch.no_grad():
+        want = pmodel(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).logits.numpy()
+
+    params = add_lora(
+        params, PeftConfig(r=r, lora_alpha=alpha),
+        jax.random.PRNGKey(0),
+    )
+    model = SimpleNamespace(params={"llm": params})
+    loaded = import_peft_adapters(
+        model, str(tmp_path / "adapter" / "adapter_model.bin")
+    )
+    assert len(loaded) == 2 * 7 * cfg.num_hidden_layers
+    got = _jax_logits(model.params["llm"], cfg, ids, mask)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+    # reverse direction: our export loads into the peft model unchanged
+    tensors = export_peft_adapters(model, str(tmp_path / "export"))
+    sd = {k: torch.from_numpy(v) for k, v in tensors.items()}
+    missing = peft.set_peft_model_state_dict(pmodel, sd)
+    assert not missing.unexpected_keys
+    with torch.no_grad():
+        want2 = pmodel(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).logits.numpy()
+    np.testing.assert_allclose(got, want2, atol=2e-4, rtol=1e-4)
