@@ -67,6 +67,12 @@ def main(argv=None):
     batches = get_dataset_factory(dc.factory)(
         dc, tokenizer, "test", encoder_tokenizer=encoder_tokenizer,
         num_hosts=num_hosts, host_id=host_id,
+        # "padding" strategy decodes at fixed val_batch_size
+        # (reference inference_batch.py:129-132)
+        fixed_batch_size=(
+            tc.val_batch_size
+            if tc.batching_strategy != "dynamic" else None
+        ),
     )
 
     decode_log = cfg.decode_log or "decode"

@@ -125,10 +125,16 @@ def main(argv=None):
 
     eval_batches = None
     if dc.dev_scp_file_path:
+        eval_bs = (
+            tc.val_batch_size
+            if tc.batching_strategy != "dynamic" else None
+        )
+
         def eval_batches():
             return iter(dataset_factory(
                 dc, tokenizer, "val", encoder_tokenizer=encoder_tokenizer,
                 num_hosts=num_hosts, host_id=host_id,
+                fixed_batch_size=eval_bs,
                 batch_multiple=batch_multiple,
             ))
 

@@ -471,6 +471,13 @@ def model_factory(
         params["llm"] = quantize_llm(params["llm"])
 
     if train_config.use_peft:
+        if train_config.peft_config.peft_method != "lora":
+            # only LoRA is implemented (the reference's llama_adapter /
+            # prefix branches are commented out, utils/config_utils.py:50-56)
+            raise NotImplementedError(
+                f"peft_method={train_config.peft_config.peft_method!r}; "
+                "only 'lora' is supported"
+            )
         from ps_slm_tpu.models.lora import add_lora
 
         params["llm"] = add_lora(
