@@ -1,0 +1,47 @@
+"""Bench harnesses stay runnable (CPU-tiny smoke, subprocess like the driver).
+
+The driver runs bench.py on real hardware; these smokes keep the harnesses
+from rotting between hardware runs.  Each runs in its own process with the
+default (single-device) CPU topology — the 8-device test mesh would make
+the tiny smoke batches non-divisible.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script: str) -> list:
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS",)
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, script)],
+        capture_output=True, text=True, timeout=540, env=env, cwd=ROOT,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    return [
+        json.loads(line) for line in out.stdout.splitlines()
+        if line.startswith("{")
+    ]
+
+
+def test_bench_smoke():
+    (res,) = _run("bench.py")
+    assert res["metric"] == "audio_sec_per_sec_per_chip"
+    assert res["value"] > 0
+
+
+def test_e2e_bench_smoke():
+    (res,) = _run(os.path.join("benchmarks", "e2e_bench.py"))
+    assert res["metric"] == "e2e_audio_sec_per_sec_per_chip"
+    assert res["value"] > 0 and res["steps"] > 0 and res["device_only"] > 0
