@@ -91,12 +91,27 @@ def main(argv=None):
             num_hosts, host_id, pred_path, gt_path, logger,
         )
 
+    if tc.speculative_ctc:
+        if tc.num_beams != 1:
+            raise ValueError("speculative_ctc requires num_beams=1 (greedy)")
+        if encoder_tokenizer is None:
+            raise ValueError(
+                "speculative_ctc needs the encoder BPE model "
+                "(model_config.encoder_path) to decode the CTC draft"
+            )
+
     with open(pred_path, "w") as fpred, open(gt_path, "w") as fgt:
         for batch in batches:
             jbatch = {
                 k: jnp.asarray(v) for k, v in batch.items()
                 if isinstance(v, np.ndarray)
             }
+            spec_kwargs = {}
+            if tc.speculative_ctc:
+                spec_kwargs = _ctc_draft_kwargs(
+                    model, jbatch, encoder_tokenizer, tokenizer,
+                    tc.spec_window,
+                )
             timer.start()
             out = generate(
                 model, model.params, jbatch,
@@ -109,6 +124,7 @@ def main(argv=None):
                 temperature=tc.temperature,
                 length_penalty=tc.length_penalty,
                 repetition_penalty=tc.repetition_penalty,
+                **spec_kwargs,
             )
             out = np.asarray(out)
             timer.stop(_audio_secs(batch))
@@ -195,6 +211,25 @@ def _decode_continuous(
         f"{n_tokens / max(dt, 1e-9):.1f} tokens/s"
     )
     return 0
+
+
+def _ctc_draft_kwargs(model, jbatch, encoder_tokenizer, tokenizer, window):
+    """CTC transcript -> LLM-token draft for speculative greedy decode."""
+    from ps_slm_tpu.inference.generate import ctc_transcript_ids
+
+    rows = ctc_transcript_ids(model, model.params, jbatch)
+    drafts = [
+        tokenizer.encode(encoder_tokenizer.decode(r)) for r in rows
+    ]
+    d = max(max((len(x) for x in drafts), default=1), 1)
+    ids = np.zeros((len(drafts), d), np.int32)
+    lens = np.zeros((len(drafts),), np.int32)
+    for i, x in enumerate(drafts):
+        ids[i, : len(x)] = x
+        lens[i] = len(x)
+    return {
+        "draft_ids": ids, "draft_lens": lens, "spec_window": window,
+    }
 
 
 def _audio_secs(batch) -> float:

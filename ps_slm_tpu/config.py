@@ -163,6 +163,10 @@ class TrainConfig:
     continuous_batching: bool = False
     decode_slots: int = 8
     decode_sync_every: int = 8
+    # CTC-draft speculative decoding (greedy only): the CTC transcript is
+    # verified in windows, output bit-identical (inference/speculative.py)
+    speculative_ctc: bool = False
+    spec_window: int = 8
 
 
 @dataclass

@@ -384,17 +384,80 @@ def _merged_fn(model):
     return fn
 
 
+def ctc_transcript_ids(model, params, batch) -> "tuple":
+    """CTC argmax -> collapse -> blank-drop per row (the SenseVoice decode
+    rule, SenseVoice.py:869-887), computed from the same front end the
+    merge uses.  Returns (ids [B, T] numpy, lens [B]) in encoder vocab —
+    the free draft for speculative decoding."""
+    import numpy as np
+
+    fn = getattr(model, "_ctc_ids_jit", None)
+    if fn is None:
+        from ps_slm_tpu.models.tasu import encode_speech
+        from ps_slm_tpu.ops import fbank as fb
+
+        @jax.jit
+        def fn(params, batch):
+            if "input_features" in batch:
+                feats = batch["input_features"]
+                flens = batch["input_feature_length"]
+            else:
+                feats, flens = fb.frontend(
+                    batch["waveform"], batch["waveform_length"], None,
+                    cfg=model.fbank_cfg, cmvn=model.cmvn, train=False,
+                )
+                feats = feats.astype(params["llm"]["embed_tokens"].dtype)
+            _, posterior, lens = encode_speech(
+                params, model.enc_cfg, feats, flens,
+                use_flash=model.use_flash,
+            )
+            return jnp.argmax(posterior, axis=-1), lens
+
+        model._ctc_ids_jit = fn
+    ids, lens = fn(params, batch)
+    ids, lens = np.asarray(ids), np.asarray(lens)
+    out = []
+    for row, n in zip(ids, lens):
+        toks, prev = [], -1
+        for t in row[:n]:
+            if t != prev and t != 0:  # collapse runs, drop blank 0
+                toks.append(int(t))
+            prev = t
+        out.append(toks)
+    return out
+
+
 def generate(
     model, params, batch: Dict[str, jnp.ndarray], **kwargs
 ) -> jnp.ndarray:
     """TASU generate (reference ps-slm.py:539-677): merge with LEFT padding,
-    then beam (default 4) or greedy/sampled decode."""
+    then beam (default 4) or greedy/sampled decode.
+
+    ``draft_ids``/``draft_lens`` (LLM-vocab) switch greedy decoding to the
+    draft-verified speculative loop (inference/speculative.py) — output is
+    bit-identical, just fewer LLM forwards when drafts match.
+    """
     kwargs.pop("rng", None)
     merged = _merged_fn(model)(params, batch)
     num_beams = kwargs.pop("num_beams", 4)
     max_new_tokens = kwargs.pop("max_new_tokens", 200)
     eos = kwargs.pop("eos_token_id")
     repetition_penalty = kwargs.pop("repetition_penalty", 1.0)
+    draft_ids = kwargs.pop("draft_ids", None)
+    draft_lens = kwargs.pop("draft_lens", None)
+    if draft_ids is not None and num_beams == 1:
+        from ps_slm_tpu.inference.speculative import (
+            speculative_greedy_generate,
+        )
+
+        out, _ = speculative_greedy_generate(
+            params["llm"], model.llm_cfg,
+            merged.embeds, merged.attention_mask, merged.position_ids,
+            jnp.asarray(draft_ids), jnp.asarray(draft_lens),
+            max_new_tokens=max_new_tokens, eos_token_id=eos,
+            window=kwargs.pop("spec_window", 8),
+        )
+        return out
     if num_beams > 1:
         return beam_generate(
             params["llm"], model.llm_cfg,

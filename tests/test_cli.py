@@ -171,3 +171,45 @@ def test_finetune_cli_uneven_buckets_pad_to_mesh(fixtures):
         "++train_config.total_steps=20",
     ])
     assert rc == 0
+
+
+def test_speculative_ctc_decode_matches_greedy(fixtures, monkeypatch):
+    """CTC-draft speculative decode through the CLI produces byte-identical
+    pred files to plain greedy (drafts only change speed, never output)."""
+    from ps_slm_tpu.cli.decode import main
+    from ps_slm_tpu.data.tokenizer import StubTokenizer
+
+    class _StubEncTok(StubTokenizer):
+        def __init__(self, path):  # CLI passes encoder_path
+            super().__init__(vocab_size=11)
+
+    import ps_slm_tpu.data.spm as spm
+
+    monkeypatch.setattr(spm, "SenseVoiceTokenizer", _StubEncTok)
+
+    # a real funasr-layout checkpoint dir (synthetic weights) so the CLI
+    # exercises the actual encoder load path too
+    from test_goldens_tool import _synthetic_funasr_dir
+
+    enc_dir = _synthetic_funasr_dir(fixtures)
+    args = [
+        a for a in _common_args(fixtures)
+        if not a.startswith((
+            "++model_config.encoder_dim", "++model_config.encoder_config",
+        ))
+    ] + [
+        f"++model_config.encoder_path={enc_dir}",
+        "++model_config.encoder_dim=25",  # synthetic ctc vocab
+        "++train_config.num_beams=1",
+        "++train_config.max_new_tokens=12",
+    ]
+    plain = fixtures / "plain"
+    spec = fixtures / "spec"
+    assert main(args + [f"decode_log={plain}"]) == 0
+    assert main(args + [
+        "++train_config.speculative_ctc=true", f"decode_log={spec}",
+    ]) == 0
+    assert (
+        (fixtures / "plain_pred").read_text()
+        == (fixtures / "spec_pred").read_text()
+    )
