@@ -112,6 +112,7 @@ def main():
     _ragged_comparison(
         model, jbatch, batch, frames, max_new, eos, on_tpu,
     )
+    _speculative_oracle(model, jbatch, batch, max_new, eos)
 
 
 def _ragged_comparison(model, jbatch, batch, frames, max_new, eos, on_tpu):
@@ -185,6 +186,58 @@ def _ragged_comparison(model, jbatch, batch, frames, max_new, eos, on_tpu):
         "slots": batch, "length_range": [int(lengths.min()), int(lengths.max())],
     }))
 
+
+
+
+def _speculative_oracle(model, jbatch, batch, max_new, eos):
+    """Upper-bound speculative throughput: oracle draft (= the greedy output
+    itself, window always accepted).  Real acceptance depends on how well
+    the CTC transcript matches the trained LLM's output; this brackets the
+    ceiling honestly."""
+    import jax.numpy as jnp
+
+    from ps_slm_tpu.inference.generate import generate
+
+    greedy = np.asarray(generate(
+        model, model.params, jbatch, eos_token_id=eos,
+        num_beams=1, max_new_tokens=max_new,
+    ))
+    lens = (greedy != eos).sum(axis=1).astype(np.int32)
+    kwargs = dict(
+        draft_ids=jnp.asarray(greedy.astype(np.int32)),
+        draft_lens=jnp.asarray(np.maximum(lens, 1)),
+    )
+    # warm both
+    for kw in ({}, kwargs):
+        _ = np.asarray(generate(
+            model, model.params, jbatch, eos_token_id=eos,
+            num_beams=1, max_new_tokens=max_new, **kw,
+        ))
+    res = {}
+    for name, kw in (("greedy", {}), ("speculative_oracle", kwargs)):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            out = generate(
+                model, model.params, jbatch, eos_token_id=eos,
+                num_beams=1, max_new_tokens=max_new, **kw,
+            )
+            _ = np.asarray(out)
+        dt = (time.perf_counter() - t0) / 2
+        toks = int((np.asarray(out) != eos).sum()) + batch
+        res[name] = toks / dt
+    # equivalence is exact in exact arithmetic (pinned by the fp32 CPU tests
+    # in tests/test_speculative.py); in bf16 the windowed forward can round
+    # near-tie logits differently than the one-token forward, and random
+    # -init weights are the worst case for ties — report agreement honestly
+    agree = float((np.asarray(out) == greedy).mean())
+    print(json.dumps({
+        "metric": "decode_speculative_oracle",
+        "greedy_tokens_per_sec": round(res["greedy"], 1),
+        "oracle_draft_tokens_per_sec": round(res["speculative_oracle"], 1),
+        "ceiling_speedup": round(res["speculative_oracle"] / res["greedy"], 3),
+        "token_agreement_bf16": round(agree, 4),
+        "note": "oracle draft = greedy output; real gain scales with CTC/LLM agreement",
+    }))
 
 if __name__ == "__main__":
     main()
