@@ -55,11 +55,13 @@ def _run(n_procs: int, steps: int = 3):
     return outs
 
 
-def test_two_process_distributed_matches_single_process():
+@pytest.mark.parametrize("n_procs", [2, 4])
+def test_distributed_matches_single_process(n_procs):
     single = _run(1)[0]
-    multi = _run(2)
+    multi = _run(n_procs)
     # every process reports the identical replicated global loss
-    np.testing.assert_allclose(multi[0], multi[1], rtol=0, atol=0)
+    for other in multi[1:]:
+        np.testing.assert_allclose(multi[0], other, rtol=0, atol=0)
     # and it matches the single-process run on the same global batch
     # (rows arrive permuted across hosts; the mean is order-invariant)
     np.testing.assert_allclose(multi[0], single, atol=1e-5)
