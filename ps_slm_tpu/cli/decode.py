@@ -85,7 +85,12 @@ def main(argv=None):
     audio_secs = 0.0
     n_tokens = 0
 
-    if tc.continuous_batching and tc.num_beams == 1:
+    if tc.continuous_batching:
+        if tc.num_beams != 1:
+            raise ValueError(
+                "continuous_batching requires num_beams=1 (greedy); beam "
+                "hypotheses cannot be slot-swapped independently"
+            )
         return _decode_continuous(
             model, tc, dc, tokenizer, encoder_tokenizer,
             num_hosts, host_id, pred_path, gt_path, logger,
@@ -157,11 +162,20 @@ def _decode_continuous(
     num_hosts, host_id, pred_path, gt_path, logger,
 ) -> int:
     """Slot-pool greedy decode (inference/continuous.py): per-request
-    submission with immediate refill on EOS; host shard by sample index."""
+    submission with immediate refill on EOS; host shard by sample index.
+    With ``speculative_ctc`` every pool step verifies a CTC-draft window
+    (inference/continuous_spec.py)."""
     import time
 
     from ps_slm_tpu.data.dataset import Collator, MultiTaskDataset
     from ps_slm_tpu.inference.continuous import ContinuousGreedyDecoder
+
+    speculative = tc.speculative_ctc
+    if speculative and encoder_tokenizer is None:
+        raise ValueError(
+            "speculative_ctc needs the encoder BPE model "
+            "(model_config.encoder_path) to decode the CTC draft"
+        )
 
     ds = MultiTaskDataset(
         dc, tokenizer, "test", encoder_tokenizer=encoder_tokenizer,
@@ -171,6 +185,8 @@ def _decode_continuous(
     stats = {"audio": 0.0, "n": 0}
 
     def requests():
+        from ps_slm_tpu.inference.generate import ctc_transcript_ids
+
         for i, s in enumerate(ds):
             if i % num_hosts != host_id:
                 continue
@@ -185,16 +201,36 @@ def _decode_continuous(
                 else s.est_frames * 0.060
             )
             stats["n"] += 1
-            yield s.key, jb
+            if speculative:
+                (row,) = ctc_transcript_ids(model, model.params, jb)
+                draft = tokenizer.encode(encoder_tokenizer.decode(row))
+                yield s.key, (jb, draft, len(draft))
+            else:
+                yield s.key, jb
 
-    dec = ContinuousGreedyDecoder(
-        model, model.params,
-        num_slots=tc.decode_slots,
-        prefill_len=dc.eval_max_frame_length,
-        max_new_tokens=tc.max_new_tokens,
-        eos_token_id=tokenizer.eos_token_id,
-        sync_every=tc.decode_sync_every,
-    )
+    if speculative:
+        from ps_slm_tpu.inference.continuous_spec import (
+            ContinuousSpeculativeDecoder,
+        )
+
+        dec = ContinuousSpeculativeDecoder(
+            model, model.params,
+            num_slots=tc.decode_slots,
+            prefill_len=dc.eval_max_frame_length,
+            max_new_tokens=tc.max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            window=tc.spec_window,
+            sync_every=max(tc.decode_sync_every // tc.spec_window, 2),
+        )
+    else:
+        dec = ContinuousGreedyDecoder(
+            model, model.params,
+            num_slots=tc.decode_slots,
+            prefill_len=dc.eval_max_frame_length,
+            max_new_tokens=tc.max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            sync_every=tc.decode_sync_every,
+        )
     n_tokens = 0
     t0 = time.perf_counter()
     with open(pred_path, "w") as fpred, open(gt_path, "w") as fgt:
@@ -204,8 +240,9 @@ def _decode_continuous(
             fgt.write(f"{key}\t{targets.pop(key)}\n")
     dt = time.perf_counter() - t0
     rtf_inv = stats["audio"] / max(dt, 1e-9)
+    mode = f"continuous{'+spec' if speculative else ''} x{tc.decode_slots}"
     logger.info(
-        f"decode done ({stats['n']} utts, continuous x{tc.decode_slots}): "
+        f"decode done ({stats['n']} utts, {mode}): "
         f"{pred_path}; {rtf_inv:.1f} audio-s/s "
         f"(RTF {1.0 / rtf_inv if rtf_inv else float('inf'):.4f}), "
         f"{n_tokens / max(dt, 1e-9):.1f} tokens/s"

@@ -1,0 +1,331 @@
+"""Continuous slot-pool decoding with draft verification per slot.
+
+Composes the two serving paths: the slot pool of inference/continuous.py
+(immediate refill on EOS, pipelined harvest) where every pool step is a
+draft-verified *window* (inference/speculative.py) instead of a single
+token — each LLM forward advances every active slot by up to ``window``
+tokens of its own CTC draft.  Per-slot cache write offsets, positions and
+draft cursors ride the pool state; output per request is identical to
+``speculative_greedy_generate`` (and therefore to greedy decode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ps_slm_tpu.models import qwen2
+from ps_slm_tpu.inference.continuous import _left_pad_merged
+
+
+def _init_pool(cfg, num_slots, capacity, d_max, eos, dtype):
+    z = jnp.zeros((num_slots,), jnp.int32)
+    return (
+        qwen2.init_cache(cfg, num_slots, capacity, dtype=dtype),
+        jnp.zeros((num_slots, capacity), bool),     # prefill mask rows
+        z,                                          # positions (next pos id)
+        z,                                          # write_idx
+        jnp.full((num_slots,), eos, jnp.int32),     # last_tok
+        jnp.zeros((num_slots,), bool),              # active
+        z,                                          # gen count
+        jnp.zeros((num_slots, max(d_max, 1)), jnp.int32),  # draft buffer
+        z,                                          # draft lens
+        z,                                          # cursor
+        jnp.full((num_slots,), eos, jnp.int32),     # tok0 buffer
+        jnp.zeros((num_slots,), bool),              # tok0 fresh
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "eos_token_id", "capacity"),
+)
+def _insert_slot(
+    params, cfg, pool, slot, embeds, attn_mask, position_ids,
+    draft_row, draft_len,
+    *, eos_token_id: int, capacity: int,
+):
+    dtype = params["embed_tokens"].dtype
+    cache1 = qwen2.init_cache(cfg, 1, capacity, dtype=dtype)
+    s = embeds.shape[1]
+    mask1 = jnp.zeros((1, capacity), bool).at[:, :s].set(attn_mask)
+    hidden, cache1 = qwen2.forward(
+        params, cfg, embeds.astype(dtype),
+        attention_mask=mask1, position_ids=position_ids,
+        cache=cache1, cache_index=0,
+    )
+    tok0 = jnp.argmax(
+        qwen2.unembed(params, hidden[:, -1:])[:, 0], axis=-1
+    ).astype(jnp.int32)[0]
+
+    (cache, pmask, positions, write_idx, last_tok, active, gen,
+     draft, dlens, cursor, tok0_buf, tok0_fresh) = pool
+    cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], cache1["k"], (0, slot, 0, 0, 0)
+        ),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], cache1["v"], (0, slot, 0, 0, 0)
+        ),
+    }
+    pmask = jax.lax.dynamic_update_slice(pmask, mask1, (slot, 0))
+    positions = positions.at[slot].set(position_ids[0, -1] + 1)
+    write_idx = write_idx.at[slot].set(s)
+    last_tok = last_tok.at[slot].set(tok0)
+    active = active.at[slot].set(tok0 != eos_token_id)
+    gen = gen.at[slot].set(1)
+    draft = draft.at[slot].set(draft_row)
+    dlens = dlens.at[slot].set(draft_len)
+    # skip draft[0] when it matches the prefill's token
+    cursor = cursor.at[slot].set(
+        ((draft_row[0] == tok0) & (draft_len > 0)).astype(jnp.int32)
+    )
+    tok0_buf = tok0_buf.at[slot].set(tok0)
+    tok0_fresh = tok0_fresh.at[slot].set(True)
+    return (cache, pmask, positions, write_idx, last_tok, active, gen,
+            draft, dlens, cursor, tok0_buf, tok0_fresh)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "eos_token_id", "steps", "max_new_tokens", "window",
+        "prefill_len",
+    ),
+)
+def _pool_spec_steps(
+    params, cfg, pool, *,
+    eos_token_id: int, steps: int, max_new_tokens: int, window: int,
+    prefill_len: int,
+):
+    """``steps`` draft-window iterations over the whole pool.
+
+    Returns (pool, toks [steps, S, window], accs [steps, S], tok0, fresh).
+    """
+    (cache0, pmask, positions0, write_idx0, last_tok0, active0, gen0,
+     draft, dlens, cursor0, tok0_buf, tok0_fresh) = pool
+    k = window
+    n, capacity = pmask.shape
+    d_max = draft.shape[1]
+    cells = jnp.arange(capacity)[None, :]
+
+    def body(carry, _):
+        cache, positions, write_idx, last_tok, active, gen, cursor = carry
+        offs = cursor[:, None] + jnp.arange(k - 1)[None, :]
+        dtoks = jnp.take_along_axis(
+            draft, jnp.clip(offs, 0, max(d_max - 1, 0)), axis=1
+        )
+        dvalid = (offs < dlens[:, None]) & active[:, None]
+        w = jnp.concatenate([last_tok[:, None], dtoks], axis=1)
+
+        kv_mask = pmask | (
+            (cells >= prefill_len) & (cells < (write_idx + k)[:, None])
+        )
+        emb = qwen2.embed(params, w)
+        pos_w = positions[:, None] + jnp.arange(k)[None, :]
+        hidden, cache = qwen2.forward(
+            params, cfg, emb,
+            attention_mask=kv_mask, position_ids=pos_w,
+            cache=cache, cache_index=write_idx,
+        )
+        preds = jnp.argmax(
+            qwen2.unembed(params, hidden), axis=-1
+        ).astype(jnp.int32)
+
+        match = (dtoks == preds[:, :-1]) & dvalid
+        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+
+        o = jnp.arange(k)[None, :]
+        bonus = jnp.take_along_axis(preds, m[:, None], axis=1)[:, 0]
+        dtoks_p = jnp.pad(dtoks, ((0, 0), (0, 1)))
+        emitted = jnp.where(
+            o < m[:, None], dtoks_p,
+            jnp.where(o == m[:, None], bonus[:, None], eos_token_id),
+        )
+
+        acc = m + 1
+        is_eos = (emitted == eos_token_id) & (o < acc[:, None])
+        first_eos = jnp.where(
+            jnp.any(is_eos, axis=1), jnp.argmax(is_eos, axis=1) + 1, acc,
+        )
+        acc = jnp.minimum(first_eos, acc)
+        acc = jnp.minimum(acc, jnp.maximum(max_new_tokens - gen, 0))
+        acc = jnp.where(active, acc, 0)
+
+        hit_eos = jnp.any(
+            (emitted == eos_token_id) & (o < acc[:, None]), axis=1
+        )
+        last = jnp.take_along_axis(
+            emitted, jnp.maximum(acc - 1, 0)[:, None], axis=1
+        )[:, 0]
+        new_last = jnp.where(acc > 0, last, last_tok)
+        new_gen = gen + acc
+        new_active = active & ~hit_eos & (new_gen < max_new_tokens)
+        mismatched = (m < (k - 1)) & jnp.take_along_axis(
+            dvalid, jnp.minimum(m, max(k - 2, 0))[:, None], axis=1
+        )[:, 0]
+        consumed = jnp.where(active, m + mismatched.astype(jnp.int32), 0)
+
+        # mask emitted beyond acc so the host can take rows verbatim
+        out_toks = jnp.where(o < acc[:, None], emitted, eos_token_id)
+        carry = (
+            cache, positions + acc, write_idx + acc, new_last, new_active,
+            new_gen, cursor + consumed,
+        )
+        return carry, (out_toks, acc)
+
+    carry = (
+        cache0, positions0, write_idx0, last_tok0, active0, gen0, cursor0,
+    )
+    carry, (toks, accs) = jax.lax.scan(body, carry, None, length=steps)
+    cache, positions, write_idx, last_tok, active, gen, cursor = carry
+    new_pool = (
+        cache, pmask, positions, write_idx, last_tok, active, gen,
+        draft, dlens, cursor, tok0_buf, jnp.zeros_like(tok0_fresh),
+    )
+    return new_pool, toks, accs, tok0_buf, tok0_fresh
+
+
+class ContinuousSpeculativeDecoder:
+    """Slot pool where each step verifies a draft window per slot.
+
+    ``run(batches)`` consumes ``(key, (device_batch, draft_ids, draft_len))``
+    tuples — drafts in LLM vocab (e.g. the CTC transcript re-tokenized) —
+    and yields ``(key, tokens)`` in completion order.
+    """
+
+    def __init__(
+        self, model, params, *,
+        num_slots: int = 8,
+        prefill_len: int,
+        max_new_tokens: int = 200,
+        eos_token_id: int,
+        window: int = 8,
+        draft_max: int = 256,
+        sync_every: int = 2,
+    ):
+        self.model = model
+        self.params = params
+        self.cfg = model.llm_cfg
+        self.num_slots = num_slots
+        self.prefill_len = prefill_len
+        self.max_new = max_new_tokens
+        self.eos = eos_token_id
+        self.window = window
+        self.d_max = draft_max
+        self.sync_every = sync_every
+        self.capacity = prefill_len + max_new_tokens + window
+        dtype = params["llm"]["embed_tokens"].dtype
+        self.pool = _init_pool(
+            self.cfg, num_slots, self.capacity, draft_max, eos_token_id,
+            dtype,
+        )
+        self._keys: list = [None] * num_slots
+        self._toks: list = [[] for _ in range(num_slots)]
+        self._epoch: list = [0] * num_slots
+
+    def _refill(self, slot: int, batch: Dict, draft, draft_len) -> None:
+        from ps_slm_tpu.inference.generate import _merged_fn
+
+        merged = _merged_fn(self.model)(self.params, batch)
+        embeds, mask, pos = _left_pad_merged(merged, self.prefill_len)
+        row = np.zeros((self.d_max,), np.int32)
+        n = min(len(draft), self.d_max)
+        row[:n] = np.asarray(draft[:n], np.int32)
+        self.pool = _insert_slot(
+            self.params["llm"], self.cfg, self.pool, slot,
+            embeds, mask, pos, jnp.asarray(row), jnp.int32(n),
+            eos_token_id=self.eos, capacity=self.capacity,
+        )
+        self._toks[slot] = []
+        self._epoch[slot] += 1
+
+    def run(
+        self, batches: Iterator[Tuple[str, Tuple[Dict, list]]],
+        stop_after: Optional[Dict[str, int]] = None,
+    ) -> Iterator[Tuple[str, np.ndarray]]:
+        """``stop_after``: optional per-request token cap (app-level early
+        stop), like ContinuousGreedyDecoder.run."""
+        batches = iter(batches)
+        free = list(range(self.num_slots))
+        exhausted = False
+        inflight = None
+
+        def cap(key):
+            if stop_after and key in stop_after:
+                return max(min(stop_after[key], self.max_new), 1)
+            return self.max_new
+
+        def finish(slot):
+            key = self._keys[slot]
+            toks = [
+                t for t in self._toks[slot] if t != self.eos
+            ][: cap(key)]
+            self._keys[slot] = None
+            self._toks[slot] = []
+            free.append(slot)
+            return key, np.asarray(toks, np.int32)
+
+        while True:
+            while free and not exhausted:
+                try:
+                    key, (batch, draft, dlen) = next(batches)
+                except StopIteration:
+                    exhausted = True
+                    break
+                slot = free.pop()
+                self._keys[slot] = key
+                self._refill(slot, batch, draft, dlen)
+
+            busy = [
+                i for i in range(self.num_slots) if self._keys[i] is not None
+            ]
+            if not busy and inflight is None:
+                if exhausted:
+                    return
+                continue
+
+            nxt = None
+            if busy:
+                self.pool, toks, accs, tok0, fresh = _pool_spec_steps(
+                    self.params["llm"], self.cfg, self.pool,
+                    eos_token_id=self.eos, steps=self.sync_every,
+                    max_new_tokens=self.max_new, window=self.window,
+                    prefill_len=self.prefill_len,
+                )
+                snapshot = [(i, self._keys[i], self._epoch[i]) for i in busy]
+                nxt = (toks, accs, tok0, fresh, snapshot)
+
+            if inflight is not None:
+                toks, accs, tok0, fresh, snapshot = inflight
+                toks, accs, tok0, fresh = jax.device_get(
+                    (toks, accs, tok0, fresh)
+                )
+                for slot, key, epoch in snapshot:
+                    if self._keys[slot] != key or self._epoch[slot] != epoch:
+                        continue
+                    if fresh[slot]:
+                        self._toks[slot].append(int(tok0[slot]))
+                    finished = (
+                        self._toks[slot]
+                        and self._toks[slot][-1] == self.eos
+                    )
+                    if not finished:
+                        for st in range(toks.shape[0]):
+                            for t in toks[st, slot, : accs[st, slot]]:
+                                self._toks[slot].append(int(t))
+                                if t == self.eos:
+                                    finished = True
+                                    break
+                            if finished:
+                                break
+                    n_real = len(
+                        [t for t in self._toks[slot] if t != self.eos]
+                    )
+                    if finished or n_real >= cap(key):
+                        yield finish(slot)
+
+            inflight = nxt

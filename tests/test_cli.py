@@ -213,3 +213,50 @@ def test_speculative_ctc_decode_matches_greedy(fixtures, monkeypatch):
         (fixtures / "plain_pred").read_text()
         == (fixtures / "spec_pred").read_text()
     )
+
+
+def test_continuous_speculative_decode_matches_greedy(fixtures, monkeypatch):
+    """continuous_batching + speculative_ctc (the combined serving path)
+    produces the same prediction set as plain greedy."""
+    from ps_slm_tpu.cli.decode import main
+    from ps_slm_tpu.data.tokenizer import StubTokenizer
+
+    class _StubEncTok(StubTokenizer):
+        def __init__(self, path):
+            super().__init__(vocab_size=25)
+
+    import ps_slm_tpu.data.spm as spm
+
+    monkeypatch.setattr(spm, "SenseVoiceTokenizer", _StubEncTok)
+    from test_goldens_tool import _synthetic_funasr_dir
+
+    enc_dir = _synthetic_funasr_dir(fixtures)
+    args = [
+        a for a in _common_args(fixtures)
+        if not a.startswith((
+            "++model_config.encoder_dim", "++model_config.encoder_config",
+        ))
+    ] + [
+        f"++model_config.encoder_path={enc_dir}",
+        "++model_config.encoder_dim=25",
+        "++train_config.num_beams=1",
+        "++train_config.max_new_tokens=12",
+        "++dataset_config.eval_max_frame_length=64",
+    ]
+    assert main(args + [f"decode_log={fixtures}/plain2"]) == 0
+    assert main(args + [
+        "++train_config.continuous_batching=true",
+        "++train_config.speculative_ctc=true",
+        "++train_config.decode_slots=3",
+        f"decode_log={fixtures}/combo",
+    ]) == 0
+
+    def read(p):
+        return dict(
+            line.split("\t", 1)
+            for line in p.read_text().splitlines()
+        )
+
+    plain = read(fixtures / "plain2_pred")
+    combo = read(fixtures / "combo_pred")
+    assert plain == combo

@@ -1,0 +1,140 @@
+"""Speculative slot pool == static greedy per request (fp32 CPU exactness),
+with refills, ragged prompts, and mixed draft quality."""
+
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ps_slm_tpu.inference.continuous import _left_pad_merged
+from ps_slm_tpu.inference.continuous_spec import ContinuousSpeculativeDecoder
+from ps_slm_tpu.inference.generate import greedy_generate
+from ps_slm_tpu.models import qwen2
+
+pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
+
+EOS = 9
+PREFILL = 8
+MAX_NEW = 16
+
+
+def _model(vocab=48, hidden=32):
+    cfg = qwen2.Qwen2Config.tiny(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8,
+    )
+    params = qwen2.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _requests(cfg, params, n=5):
+    rng = np.random.default_rng(3)
+    out = []
+    for i in range(n):
+        s = int(rng.integers(4, PREFILL + 1))
+        ids = rng.integers(0, cfg.vocab_size, size=(1, s))
+        emb = qwen2.embed(params, jnp.asarray(ids))
+        mask = jnp.ones((1, s), bool)
+        pos = jnp.clip(jnp.cumsum(mask, axis=-1) - 1, 0, None)
+        out.append((f"utt{i}", SimpleNamespace(
+            embeds=emb, attention_mask=mask, position_ids=pos,
+        )))
+    return out
+
+
+def test_spec_pool_matches_static_greedy():
+    cfg, llm = _model()
+    reqs = _requests(cfg, llm)
+
+    expected = {}
+    for key, merged in reqs:
+        emb, mask, pos = _left_pad_merged(merged, PREFILL)
+        toks = np.asarray(greedy_generate(
+            llm, cfg, emb, mask, pos,
+            max_new_tokens=MAX_NEW, eos_token_id=EOS,
+        ))[0]
+        cut = np.where(toks == EOS)[0]
+        expected[key] = toks[: cut[0]] if len(cut) else toks
+
+    # mixed draft quality: oracle, corrupted, empty
+    rng = np.random.default_rng(9)
+    drafts = {}
+    for i, (key, _) in enumerate(reqs):
+        base = list(expected[key])
+        if i % 3 == 1:
+            base = [
+                (t + 5) % cfg.vocab_size if rng.random() < 0.4 else t
+                for t in base
+            ]
+        elif i % 3 == 2:
+            base = []
+        drafts[key] = base
+
+    model = SimpleNamespace(llm_cfg=cfg)
+    merged_by_key = dict(reqs)
+    model._merged_jit = lambda params, batch: merged_by_key[batch["key"]]
+
+    dec = ContinuousSpeculativeDecoder(
+        model, {"llm": llm}, num_slots=2, prefill_len=PREFILL,
+        max_new_tokens=MAX_NEW, eos_token_id=EOS, window=4,
+        draft_max=32, sync_every=2,
+    )
+    got = dict(dec.run(
+        (k, ({"key": k}, drafts[k], len(drafts[k]))) for k, _ in reqs
+    ))
+    assert set(got) == set(expected)
+    for k in expected:
+        np.testing.assert_array_equal(got[k], expected[k]), k
+
+
+def test_spec_pool_oracle_uses_fewer_chunks():
+    """With oracle drafts the pool finishes in far fewer chunk dispatches
+    than tokens emitted (window acceleration is real, not just correct)."""
+    cfg, llm = _model()
+    reqs = _requests(cfg, llm, n=2)
+    expected = {}
+    for key, merged in reqs:
+        emb, mask, pos = _left_pad_merged(merged, PREFILL)
+        toks = np.asarray(greedy_generate(
+            llm, cfg, emb, mask, pos,
+            max_new_tokens=MAX_NEW, eos_token_id=EOS,
+        ))[0]
+        cut = np.where(toks == EOS)[0]
+        expected[key] = toks[: cut[0]] if len(cut) else toks
+
+    model = SimpleNamespace(llm_cfg=cfg)
+    merged_by_key = dict(reqs)
+    model._merged_jit = lambda params, batch: merged_by_key[batch["key"]]
+
+    import ps_slm_tpu.inference.continuous_spec as cs
+
+    calls = {"n": 0}
+    orig = cs._pool_spec_steps
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    cs._pool_spec_steps = counting
+    try:
+        dec = ContinuousSpeculativeDecoder(
+            model, {"llm": llm}, num_slots=2, prefill_len=PREFILL,
+            max_new_tokens=MAX_NEW, eos_token_id=EOS, window=8,
+            draft_max=32, sync_every=1,
+        )
+        got = dict(dec.run(
+            (k, ({"key": k}, list(expected[k]), len(expected[k])))
+            for k, _ in reqs
+        ))
+    finally:
+        cs._pool_spec_steps = orig
+    for k in expected:
+        np.testing.assert_array_equal(got[k], expected[k]), k
+    total = sum(len(v) for v in expected.values())
+    # each chunk is one window forward; oracle drafts emit ~window
+    # tokens/chunk/slot, so chunks << tokens
+    assert calls["n"] * 8 >= total  # sanity: enough capacity
+    assert calls["n"] <= max(4, total // 4), (calls["n"], total)
