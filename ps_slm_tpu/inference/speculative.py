@@ -22,7 +22,7 @@ SenseVoice BPE decode -> LLM tokenizer encode) as ``draft_ids``.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

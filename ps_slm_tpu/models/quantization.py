@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
 
 Params = Dict[str, Any]

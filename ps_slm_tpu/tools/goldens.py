@@ -116,7 +116,6 @@ def capture(out_path: str, encoder_dir: str = None, llm_dir: str = None):
 
 
 def verify(golden_path: str, encoder_dir: str = None, llm_dir: str = None):
-    import jax
     import jax.numpy as jnp
 
     g = np.load(golden_path)

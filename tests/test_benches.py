@@ -24,9 +24,17 @@ def _run(script: str) -> list:
         if k not in ("XLA_FLAGS",)
     }
     env["JAX_PLATFORMS"] = "cpu"
+    # the axon plugin ignores the env var; jax.config.update before first
+    # backend touch is the only reliable way to force the CPU smoke config
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        f"import sys; sys.path.insert(0, {ROOT!r});\n"
+        f"import runpy; runpy.run_path({os.path.join(ROOT, script)!r}, "
+        "run_name='__main__')"
+    )
     out = subprocess.run(
-        [sys.executable, os.path.join(ROOT, script)],
-        capture_output=True, text=True, timeout=540, env=env, cwd=ROOT,
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=ROOT,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     return [
