@@ -138,3 +138,55 @@ def test_spec_pool_oracle_uses_fewer_chunks():
     # tokens/chunk/slot, so chunks << tokens
     assert calls["n"] * 8 >= total  # sanity: enough capacity
     assert calls["n"] <= max(4, total // 4), (calls["n"], total)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_spec_pool_fuzz(seed):
+    """Randomized slots/windows/sync/draft-quality vs static greedy."""
+    rng = np.random.default_rng(100 + seed)
+    cfg, llm = _model(vocab=32 + int(rng.integers(0, 32)))
+    n = int(rng.integers(3, 7))
+    reqs = _requests(cfg, llm, n=n)
+    max_new = int(rng.integers(6, 20))
+
+    expected = {}
+    for key, merged in reqs:
+        emb, mask, pos = _left_pad_merged(merged, PREFILL)
+        toks = np.asarray(greedy_generate(
+            llm, cfg, emb, mask, pos,
+            max_new_tokens=max_new, eos_token_id=EOS,
+        ))[0]
+        cut = np.where(toks == EOS)[0]
+        expected[key] = toks[: cut[0]] if len(cut) else toks
+
+    drafts = {}
+    for key in expected:
+        base = list(expected[key])
+        mode = rng.integers(0, 4)
+        if mode == 1:  # corrupted
+            base = [
+                int((t + rng.integers(1, 5)) % cfg.vocab_size)
+                if rng.random() < 0.3 else int(t) for t in base
+            ]
+        elif mode == 2:  # random garbage
+            base = [int(x) for x in rng.integers(0, cfg.vocab_size, 10)]
+        elif mode == 3:  # empty
+            base = []
+        drafts[key] = base
+
+    model = SimpleNamespace(llm_cfg=cfg)
+    merged_by_key = dict(reqs)
+    model._merged_jit = lambda params, batch: merged_by_key[batch["key"]]
+    dec = ContinuousSpeculativeDecoder(
+        model, {"llm": llm},
+        num_slots=int(rng.integers(1, 4)),
+        prefill_len=PREFILL, max_new_tokens=max_new, eos_token_id=EOS,
+        window=int(rng.integers(2, 7)), draft_max=32,
+        sync_every=int(rng.integers(1, 4)),
+    )
+    got = dict(dec.run(
+        (k, ({"key": k}, drafts[k], len(drafts[k]))) for k, _ in reqs
+    ))
+    assert set(got) == set(expected)
+    for k in expected:
+        np.testing.assert_array_equal(got[k], expected[k]), k
