@@ -53,3 +53,15 @@ def test_e2e_bench_smoke():
     (res,) = _run(os.path.join("benchmarks", "e2e_bench.py"))
     assert res["metric"] == "e2e_audio_sec_per_sec_per_chip"
     assert res["value"] > 0 and res["steps"] > 0 and res["device_only"] > 0
+
+
+def test_decode_bench_smoke():
+    res = _run(os.path.join("benchmarks", "decode_bench.py"))
+    metrics = {r["metric"] for r in res}
+    assert {"decode_beam1", "decode_beam4",
+            "decode_continuous_vs_static_ragged",
+            "decode_speculative_oracle"} <= metrics
+    for r in res:
+        for k, v in r.items():
+            if k.endswith("tokens_per_sec"):
+                assert v > 0, r
