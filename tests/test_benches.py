@@ -65,3 +65,11 @@ def test_decode_bench_smoke():
         for k, v in r.items():
             if k.endswith("tokens_per_sec"):
                 assert v > 0, r
+
+
+def test_anatomy_bench_smoke():
+    (res,) = _run(os.path.join("benchmarks", "anatomy.py"))
+    assert res["metric"] == "step_anatomy"
+    assert 0 < res["encoder_posterior_ms"] <= res["front_half_ms"] * 1.5
+    assert res["front_half_ms"] < res["full_forward_ms"]
+    assert res["full_forward_ms"] < res["train_step_ms"]
