@@ -1,0 +1,170 @@
+"""Streaming serving entry point.
+
+Reads JSONL requests (``{"key": ..., "path": "<wav|ark:off|flac>"}`` — the
+manifest row schema minus targets) from a file or stdin, decodes them
+through the continuous slot pool (optionally with CTC-draft speculative
+verification), and emits JSONL results ``{"key": ..., "text": ...}`` in
+completion order as they finish — a long-running serving loop rather than
+the batch decode of ``cli/decode.py``.
+
+Usage:
+    python -m ps_slm_tpu.cli.serve ++model_config... [requests.jsonl]
+    cat requests.jsonl | python -m ps_slm_tpu.cli.serve ++model_config...
+
+Config knobs are the decode set: ``decode_slots``, ``max_new_tokens``,
+``speculative_ctc`` (+ ``spec_window``), ``quantization`` (int8 weights).
+The pool keeps the device busy across requests; results stream as soon as
+each utterance finishes (docs/PERF.md serving numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None, *, stdin=None, stdout=None):
+    from ps_slm_tpu.config import RunConfig, parse_cli
+    from ps_slm_tpu.data.dataset import Collator, Sample
+    from ps_slm_tpu.data.spm import SenseVoiceTokenizer
+    from ps_slm_tpu.data.tokenizer import load_tokenizer
+    from ps_slm_tpu.registry import get_model_factory
+    from ps_slm_tpu.training import checkpoint as ckpt
+    from ps_slm_tpu.utils.logging import setup_logger
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+    req_path = None
+    rest = []
+    for a in argv:
+        if not a.startswith("++") and "=" not in a:
+            req_path = a
+        else:
+            rest.append(a)
+    cfg = parse_cli(rest, RunConfig())
+    tc, mc, dc = cfg.train_config, cfg.model_config, cfg.dataset_config
+    dc.inference_mode = True
+    logger = setup_logger("serve", cfg.log_config.log_file)
+    stdout = stdout or sys.stdout
+
+    dtype = jnp.bfloat16 if tc.mixed_precision else jnp.float32
+    tokenizer = load_tokenizer(mc.llm_path or None)
+    encoder_tokenizer = None
+    if mc.encoder_path:
+        try:
+            encoder_tokenizer = SenseVoiceTokenizer(mc.encoder_path)
+        except (FileNotFoundError, OSError):
+            pass
+    if tc.speculative_ctc and encoder_tokenizer is None:
+        raise ValueError(
+            "speculative_ctc needs the encoder BPE model "
+            "(model_config.encoder_path)"
+        )
+
+    model = get_model_factory(mc.factory)(
+        tc, mc, rng=jax.random.PRNGKey(tc.seed), dtype=dtype
+    )
+    model.speech_token_id = tokenizer.speech_token_id
+    model.pad_token_id = tokenizer.pad_token_id
+    model.fbank_cfg = dc.fbank
+    if mc.encoder_path:
+        cmvn_path = os.path.join(mc.encoder_path, "am.mvn")
+        if os.path.exists(cmvn_path):
+            from ps_slm_tpu.ops.fbank import load_cmvn
+
+            model.cmvn = load_cmvn(cmvn_path)
+    if cfg.ckpt_path:
+        n = len(ckpt.import_reference_checkpoint(model, cfg.ckpt_path, dtype))
+        logger.info(f"loaded {n} tensors from {cfg.ckpt_path}")
+
+    coll = Collator(tokenizer, dc, inference_mode=True)
+    from ps_slm_tpu.data.dataset import MultiTaskDataset, load_multiprompt
+    import random as _random
+
+    prompts = load_multiprompt(dc.multitask_prompt_path)
+    prompt_rng = _random.Random(tc.seed)
+    builder = MultiTaskDataset.__new__(MultiTaskDataset)
+    builder.cfg = dc
+    builder.tokenizer = tokenizer
+    builder.encoder_tokenizer = encoder_tokenizer
+    builder.inference_mode = True
+    builder.load_audio = True
+    builder.prompts = prompts
+    builder.sample_rate = 16000
+    builder.max_samples = dc.max_audio_length * builder.sample_rate
+    builder.min_samples = int(0.1 * builder.sample_rate)
+
+    source = open(req_path) if req_path else (stdin or sys.stdin)
+
+    def requests():
+        from ps_slm_tpu.inference.generate import ctc_transcript_ids
+
+        for i, line in enumerate(source):
+            line = line.strip()
+            if not line:
+                continue
+            item = json.loads(line)
+            item.setdefault("target", "")
+            item.setdefault("task", "ASR")
+            sample = builder._build(item, prompt_rng, i)
+            if sample is None:
+                stdout.write(json.dumps(
+                    {"key": item["key"], "error": "filtered (length)"}
+                ) + "\n")
+                stdout.flush()
+                continue
+            hb = coll([sample])
+            jb = {
+                k: jnp.asarray(v) for k, v in hb.items()
+                if isinstance(v, np.ndarray)
+            }
+            if tc.speculative_ctc:
+                (row,) = ctc_transcript_ids(model, model.params, jb)
+                draft = tokenizer.encode(encoder_tokenizer.decode(row))
+                yield sample.key, (jb, draft, len(draft))
+            else:
+                yield sample.key, jb
+
+    if tc.speculative_ctc:
+        from ps_slm_tpu.inference.continuous_spec import (
+            ContinuousSpeculativeDecoder,
+        )
+
+        dec = ContinuousSpeculativeDecoder(
+            model, model.params, num_slots=tc.decode_slots,
+            prefill_len=dc.eval_max_frame_length,
+            max_new_tokens=tc.max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            window=tc.spec_window,
+            sync_every=max(tc.decode_sync_every // tc.spec_window, 2),
+        )
+    else:
+        from ps_slm_tpu.inference.continuous import ContinuousGreedyDecoder
+
+        dec = ContinuousGreedyDecoder(
+            model, model.params, num_slots=tc.decode_slots,
+            prefill_len=dc.eval_max_frame_length,
+            max_new_tokens=tc.max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            sync_every=tc.decode_sync_every,
+        )
+
+    n = 0
+    for key, toks in dec.run(requests()):
+        stdout.write(json.dumps(
+            {"key": key, "text": tokenizer.decode(toks)}
+        ) + "\n")
+        stdout.flush()
+        n += 1
+    if req_path:
+        source.close()
+    logger.info(f"served {n} requests")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -274,3 +274,34 @@ def test_continuous_speculative_decode_matches_greedy(fixtures, monkeypatch):
     ]) == 0
 
     _assert_near_identical(fixtures / "plain2_pred", fixtures / "combo_pred")
+
+
+def test_serve_cli_streams_results(fixtures, tmp_path):
+    """Streaming serve entry: JSONL requests in -> JSONL results out via
+    the continuous pool; every request answered exactly once."""
+    import io
+
+    from ps_slm_tpu.cli.serve import main
+
+    # requests = the test manifest rows without targets
+    reqs = tmp_path / "requests.jsonl"
+    rows = (fixtures / "test" / "multitask.jsonl").read_text().splitlines()
+    reqs.write_text("\n".join(
+        json.dumps({
+            "key": json.loads(r)["key"], "path": json.loads(r)["path"],
+        }) for r in rows
+    ) + "\n")
+
+    out = io.StringIO()
+    rc = main(_common_args(fixtures) + [
+        "++train_config.num_beams=1",
+        "++train_config.max_new_tokens=6",
+        "++train_config.decode_slots=3",
+        "++dataset_config.eval_max_frame_length=64",
+        str(reqs),
+    ], stdout=out)
+    assert rc == 0
+    results = [json.loads(l) for l in out.getvalue().splitlines()]
+    keys = {r["key"] for r in results}
+    assert keys == {f"utt{i}" for i in range(8)}
+    assert all("text" in r for r in results)
