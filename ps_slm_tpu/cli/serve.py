@@ -30,7 +30,7 @@ import numpy as np
 
 def main(argv=None, *, stdin=None, stdout=None):
     from ps_slm_tpu.config import RunConfig, parse_cli
-    from ps_slm_tpu.data.dataset import Collator, Sample
+    from ps_slm_tpu.data.dataset import Collator
     from ps_slm_tpu.data.spm import SenseVoiceTokenizer
     from ps_slm_tpu.data.tokenizer import load_tokenizer
     from ps_slm_tpu.registry import get_model_factory
@@ -82,21 +82,14 @@ def main(argv=None, *, stdin=None, stdout=None):
         logger.info(f"loaded {n} tensors from {cfg.ckpt_path}")
 
     coll = Collator(tokenizer, dc, inference_mode=True)
-    from ps_slm_tpu.data.dataset import MultiTaskDataset, load_multiprompt
     import random as _random
 
-    prompts = load_multiprompt(dc.multitask_prompt_path)
+    from ps_slm_tpu.data.dataset import MultiTaskDataset
+
     prompt_rng = _random.Random(tc.seed)
-    builder = MultiTaskDataset.__new__(MultiTaskDataset)
-    builder.cfg = dc
-    builder.tokenizer = tokenizer
-    builder.encoder_tokenizer = encoder_tokenizer
-    builder.inference_mode = True
-    builder.load_audio = True
-    builder.prompts = prompts
-    builder.sample_rate = 16000
-    builder.max_samples = dc.max_audio_length * builder.sample_rate
-    builder.min_samples = int(0.1 * builder.sample_rate)
+    builder = MultiTaskDataset.for_requests(
+        dc, tokenizer, encoder_tokenizer=encoder_tokenizer
+    )
 
     source = open(req_path) if req_path else (stdin or sys.stdin)
 

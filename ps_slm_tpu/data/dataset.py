@@ -107,6 +107,26 @@ class MultiTaskDataset:
         self.max_samples = dataset_config.max_audio_length * self.sample_rate
         self.min_samples = int(0.1 * self.sample_rate)
 
+    @classmethod
+    def for_requests(cls, dataset_config, tokenizer, encoder_tokenizer=None):
+        """A manifest-less builder for serving: only :meth:`_build` is used,
+        on externally-supplied request dicts (cli/serve.py)."""
+        self = cls.__new__(cls)
+        self.cfg = dataset_config
+        self.tokenizer = tokenizer
+        self.encoder_tokenizer = encoder_tokenizer
+        self.split = "serve"
+        self.inference_mode = True
+        self.load_audio = True
+        self.seed = 0
+        self.prompts = load_multiprompt(dataset_config.multitask_prompt_path)
+        self.data_path = None
+        self.manifest = None
+        self.sample_rate = 16000
+        self.max_samples = dataset_config.max_audio_length * self.sample_rate
+        self.min_samples = int(0.1 * self.sample_rate)
+        return self
+
     def __len__(self) -> int:
         with open(self.manifest, "rb") as f:
             return sum(1 for _ in f)
