@@ -314,3 +314,157 @@ def test_encoder_matches_reference_module():
         atol=3e-4, rtol=3e-4,
     )
     np.testing.assert_array_equal(np.asarray(out_lens), want_lens.numpy())
+
+
+# ----------------------------------------------------------------------------
+# capstone: the ENTIRE composite audio-TASU forward vs the reference
+# slam_model_asr.forward (ps-slm.py:411-537) with weights transplanted
+# through our composite checkpoint importer
+# ----------------------------------------------------------------------------
+
+def _composite_reference(do_psd: bool):
+    import types
+    from importlib.machinery import SourceFileLoader
+
+    import torch
+
+    sv = ro.load_ref_sensevoice()
+    ref = ro.load_ref_ps_slm()
+    proj_mod = SourceFileLoader(
+        "ref_projector", f"{ro.REF_ROOT}/model/projector.py"
+    ).load_module()
+
+    torch.manual_seed(0)
+    enc_stack = sv.SenseVoiceEncoderSmall(
+        input_size=80, output_size=32, attention_heads=2,
+        linear_units=48, num_blocks=3, tp_blocks=1, kernel_size=11,
+    ).eval()
+    query_embed = torch.nn.Embedding(16, 80)
+    ctc_lo = torch.nn.Linear(32, 25)
+    projector = proj_mod.EncoderProjectorLinearSiLU(
+        types.SimpleNamespace(encoder_dim=25, llm_dim=32), bottleneck=2048,
+    ).eval()
+
+    from transformers import Qwen2Config as HFConfig
+    from transformers import Qwen2ForCausalLM
+
+    hf_cfg = HFConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attention_dropout=0.0,
+    )
+    llm = Qwen2ForCausalLM(hf_cfg).eval()
+
+    fake = types.SimpleNamespace(
+        encoder=types.SimpleNamespace(
+            embed=query_embed, encoder=enc_stack,
+            ctc=types.SimpleNamespace(ctc_lo=ctc_lo), blank_id=0,
+        ),
+        llm=llm,
+        encoder_projector=projector,
+        tokenizer=types.SimpleNamespace(
+            default_speech_token=SPEECH, pad_token_id=PAD,
+            default_ignore_token=IGNORE,
+        ),
+        metric="acc",
+        ctc_posterior=True, do_psd=do_psd, voca_trans=False,
+        gt_emb=False, gt_emb_noise=False, top1_emb=False,
+        cross_attn=False, gaussian_sim=False,
+    )
+    # bind the class methods the forward calls through self
+    fake.psd = types.MethodType(ref.slam_model_asr.psd, fake)
+    fake._merge_input_ids_with_audio_features = types.MethodType(
+        ref.slam_model_asr._merge_input_ids_with_audio_features, fake
+    )
+
+    # composite pytorch_model.bin layout for our importer
+    tensors = {}
+    for k, v in enc_stack.state_dict().items():
+        tensors[f"encoder.encoder.{k}"] = v.detach().numpy()
+    tensors["encoder.embed.weight"] = query_embed.weight.detach().numpy()
+    tensors["encoder.ctc.ctc_lo.weight"] = ctc_lo.weight.detach().numpy()
+    tensors["encoder.ctc.ctc_lo.bias"] = ctc_lo.bias.detach().numpy()
+    for k, v in llm.state_dict().items():
+        tensors[f"llm.{k}"] = v.detach().numpy()
+    for k, v in projector.state_dict().items():
+        tensors[f"encoder_projector.{k}"] = v.detach().numpy()
+    return ref, fake, tensors
+
+
+@pytest.mark.parametrize("do_psd", [False, True])
+def test_composite_forward_matches_reference(do_psd):
+    """Full audio-TASU forward (encoder -> posterior [-> PSD] -> projector
+    -> merge -> LLM -> CE + accuracy) equals the reference composite module
+    running the same transplanted weights."""
+    import torch
+
+    from ps_slm_tpu.config import ModelConfig, TrainConfig
+    from ps_slm_tpu.models.tasu import forward, model_factory
+    from ps_slm_tpu.training.checkpoint import import_reference_checkpoint
+
+    ref, fake, tensors = _composite_reference(do_psd)
+
+    rng = np.random.default_rng(4)
+    b, s, a = 3, 10, 18
+    ids = rng.integers(1, 120, size=(b, s)).astype(np.int64)
+    ids[:, 4] = SPEECH
+    mask = np.ones((b, s), bool)
+    labels = ids.copy()
+    labels[:, :6] = IGNORE
+    feats = rng.normal(size=(b, a, 80)).astype(np.float32)
+    flens = np.asarray([a, a - 3, a - 6], np.int64)
+
+    with torch.no_grad():
+        out, acc = ref.slam_model_asr.forward(
+            fake,
+            input_ids=torch.as_tensor(ids),
+            input_features=torch.as_tensor(feats),
+            attention_mask=torch.as_tensor(mask),
+            input_feature_length=torch.as_tensor(flens),
+            labels=torch.as_tensor(labels),
+        )
+    want_loss = float(out.loss)
+    want_acc = float(acc)
+
+    tc = TrainConfig(
+        ctc_posterior=True, do_psd=do_psd, gt_emb=False,
+        freeze_llm=True, freeze_encoder=True, mixed_precision=False,
+    )
+    mc = ModelConfig(
+        llm_path="", encoder_path=None, encoder_projector="linear-silu",
+        encoder_dim=25, llm_dim=32, encoder_projector_ds_rate=1,
+        llm_config_overrides=dict(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8, rope_theta=10000.0,
+            tie_word_embeddings=False,
+        ),
+        encoder_config_overrides=dict(
+            input_size=80, output_size=32, attention_heads=2,
+            linear_units=48, num_blocks=3, tp_blocks=1, kernel_size=11,
+            vocab_size=25,
+        ),
+    )
+    model = model_factory(tc, mc, rng=jax.random.PRNGKey(0))
+    model.speech_token_id = SPEECH
+    model.pad_token_id = PAD
+    model.use_flash = False
+    loaded = import_reference_checkpoint(model, tensors)
+    assert len(loaded) == len(tensors)
+
+    batch = {
+        "input_ids": jnp.asarray(ids.astype(np.int32)),
+        "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(labels.astype(np.int32)),
+        "input_features": jnp.asarray(feats),
+        "input_feature_length": jnp.asarray(flens.astype(np.int32)),
+    }
+    loss, aux = forward(model, model.params, batch, jax.random.PRNGKey(0))
+    got_loss = float(loss)
+    got_acc = float(aux["acc"])
+    ntok = int(aux["ntokens"])
+
+    np.testing.assert_allclose(got_loss, want_loss, rtol=2e-4)
+    # accuracy can differ by one prediction on an exact logit tie
+    assert abs(got_acc - want_acc) <= 1.01 / max(ntok, 1), (got_acc, want_acc)
