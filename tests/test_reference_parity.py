@@ -468,3 +468,96 @@ def test_composite_forward_matches_reference(do_psd):
     np.testing.assert_allclose(got_loss, want_loss, rtol=2e-4)
     # accuracy can differ by one prediction on an exact logit tie
     assert abs(got_acc - want_acc) <= 1.01 / max(ntok, 1), (got_acc, want_acc)
+
+
+def test_composite_text_only_forward_matches_reference():
+    """The published text_only recipe path end to end: gt one-hot pseudo-
+    posterior -> projector -> merge -> LLM CE (ps-slm.py:459-467 with
+    gt_emb=true, gt_emb_noise=false), reference module vs ours."""
+    import types
+
+    import torch
+
+    from ps_slm_tpu.config import ModelConfig, TrainConfig
+    from ps_slm_tpu.models.tasu import forward, model_factory
+    from ps_slm_tpu.training.checkpoint import import_reference_checkpoint
+
+    ref, fake, tensors = _composite_reference(do_psd=False)
+    fake.gt_emb = True
+    fake.gt_emb_noise = False
+    texts = ["hello world", "abc", "longer text here"]
+    rng = np.random.default_rng(6)
+    ids_by_text = {
+        t: [int(x) for x in rng.integers(1, 25, size=3 + 2 * i)]
+        for i, t in enumerate(texts)
+    }
+    fake.encoder_tokenizer = ro.FakeEncoderTokenizer(ids_by_text, 25)
+    fake.parameters = lambda: iter([torch.zeros(1)])
+    fake.ctc_pseudo_posterior = types.MethodType(
+        ref.slam_model_asr.ctc_pseudo_posterior, fake
+    )
+
+    b, s = 3, 10
+    ids = rng.integers(1, 120, size=(b, s)).astype(np.int64)
+    ids[:, 4] = SPEECH
+    mask = np.ones((b, s), bool)
+    labels = ids.copy()
+    labels[:, :6] = IGNORE
+    # dummy audio: the reference still runs the encoder and discards it
+    feats = rng.normal(size=(b, 12, 80)).astype(np.float32)
+    flens = np.asarray([12, 12, 12], np.int64)
+
+    with torch.no_grad():
+        out, acc = ref.slam_model_asr.forward(
+            fake,
+            input_ids=torch.as_tensor(ids),
+            input_features=torch.as_tensor(feats),
+            attention_mask=torch.as_tensor(mask),
+            input_feature_length=torch.as_tensor(flens),
+            GT=texts,
+            labels=torch.as_tensor(labels),
+        )
+
+    tc = TrainConfig(
+        ctc_posterior=True, gt_emb=True, gt_emb_noise=False,
+        freeze_llm=True, freeze_encoder=True, mixed_precision=False,
+    )
+    mc = ModelConfig(
+        llm_path="", encoder_path=None, encoder_projector="linear-silu",
+        encoder_dim=25, llm_dim=32, encoder_projector_ds_rate=1,
+        llm_config_overrides=dict(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8, rope_theta=10000.0,
+            tie_word_embeddings=False,
+        ),
+        encoder_config_overrides=dict(
+            input_size=80, output_size=32, attention_heads=2,
+            linear_units=48, num_blocks=3, tp_blocks=1, kernel_size=11,
+            vocab_size=25,
+        ),
+    )
+    model = model_factory(tc, mc, rng=jax.random.PRNGKey(0))
+    model.speech_token_id = SPEECH
+    model.pad_token_id = PAD
+    model.use_flash = False
+    import_reference_checkpoint(model, tensors)
+
+    gt_rows = [ids_by_text[t] for t in texts]
+    g = max(len(r) for r in gt_rows)
+    gt_ids = np.zeros((b, g), np.int32)
+    gt_lens = np.zeros((b,), np.int32)
+    for i, r in enumerate(gt_rows):
+        gt_ids[i, : len(r)] = r
+        gt_lens[i] = len(r)
+    batch = {
+        "input_ids": jnp.asarray(ids.astype(np.int32)),
+        "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(labels.astype(np.int32)),
+        "gt_ids": jnp.asarray(gt_ids),
+        "gt_lens": jnp.asarray(gt_lens),
+    }
+    loss, aux = forward(model, model.params, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(loss), float(out.loss), rtol=2e-4)
+    ntok = int(aux["ntokens"])
+    assert abs(float(aux["acc"]) - float(acc)) <= 1.01 / max(ntok, 1)
