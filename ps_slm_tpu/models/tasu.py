@@ -72,7 +72,13 @@ class TasuFlags:
         return not (self.ctc_posterior and not self.voca_trans and self.gt_emb)
 
     @staticmethod
-    def from_train_config(tc) -> "TasuFlags":
+    def from_train_config(tc, model_config=None) -> "TasuFlags":
+        # the reference derives cross_attn from the projector name
+        # (ps-slm.py:214-217); the config flag is an additional override
+        cross = bool(tc.cross_attn) or (
+            model_config is not None
+            and model_config.encoder_projector == "cross-attention"
+        )
         return TasuFlags(
             ctc_posterior=tc.ctc_posterior,
             voca_trans=tc.voca_trans,
@@ -80,7 +86,7 @@ class TasuFlags:
             gt_emb_noise=tc.gt_emb_noise,
             do_psd=tc.do_psd,
             top1_emb=tc.top1_emb,
-            cross_attn=tc.cross_attn or False,
+            cross_attn=cross,
             drop_prob=tc.drop_prob,
             insert_prob=tc.insert_prob,
             smooth_low=tc.smooth_low,
@@ -485,7 +491,7 @@ def model_factory(
             jax.random.fold_in(rng, 17), dtype,
         )
 
-    flags = TasuFlags.from_train_config(train_config)
+    flags = TasuFlags.from_train_config(train_config, model_config)
     model = TasuModel(
         params=params,
         llm_cfg=llm_cfg,

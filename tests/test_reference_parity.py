@@ -561,3 +561,163 @@ def test_composite_text_only_forward_matches_reference():
     np.testing.assert_allclose(float(loss), float(out.loss), rtol=2e-4)
     ntok = int(aux["ntokens"])
     assert abs(float(aux["acc"]) - float(acc)) <= 1.01 / max(ntok, 1)
+
+
+def _composite_batch(rng, b=3, s=10, a=18, input_size=80):
+    ids = rng.integers(1, 120, size=(b, s)).astype(np.int64)
+    ids[:, 4] = SPEECH
+    mask = np.ones((b, s), bool)
+    labels = ids.copy()
+    labels[:, :6] = IGNORE
+    feats = rng.normal(size=(b, a, input_size)).astype(np.float32)
+    flens = np.asarray([a, a - 3, a - 6], np.int64)
+    return ids, mask, labels, feats, flens
+
+
+def _our_composite_model(tc_kw, mc_kw, tensors):
+    from ps_slm_tpu.config import ModelConfig, TrainConfig
+    from ps_slm_tpu.models.tasu import model_factory
+    from ps_slm_tpu.training.checkpoint import import_reference_checkpoint
+
+    tc = TrainConfig(
+        freeze_llm=True, freeze_encoder=True, mixed_precision=False, **tc_kw
+    )
+    mc = ModelConfig(
+        llm_path="", encoder_path=None, llm_dim=32,
+        llm_config_overrides=dict(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8, rope_theta=10000.0,
+            tie_word_embeddings=False,
+        ),
+        encoder_config_overrides=dict(
+            input_size=80, output_size=32, attention_heads=2,
+            linear_units=48, num_blocks=3, tp_blocks=1, kernel_size=11,
+            vocab_size=25,
+        ),
+        **mc_kw,
+    )
+    model = model_factory(tc, mc, rng=jax.random.PRNGKey(0))
+    model.speech_token_id = SPEECH
+    model.pad_token_id = PAD
+    model.use_flash = False
+    import_reference_checkpoint(model, tensors)
+    return model, tc
+
+
+def test_composite_raw_feature_forward_matches_reference():
+    """ctc_posterior=false raw-feature SLAM-ASR baseline (ps-slm.py:515-523):
+    encoder hidden -> frame-concat projector (k=2) -> merge -> CE."""
+    import types
+    from importlib.machinery import SourceFileLoader
+
+    import torch
+
+    from ps_slm_tpu.models.tasu import forward
+
+    ref, fake, tensors = _composite_reference(do_psd=False)
+    proj_mod = SourceFileLoader(
+        "ref_projector", f"{ro.REF_ROOT}/model/projector.py"
+    ).load_module()
+    torch.manual_seed(1)
+    concat = proj_mod.EncoderProjectorConcat(types.SimpleNamespace(
+        encoder_projector_ds_rate=2, encoder_dim=32, llm_dim=32,
+    )).eval()
+    fake.encoder_projector = concat
+    fake.ctc_posterior = False
+    tensors = {
+        k: v for k, v in tensors.items()
+        if not k.startswith("encoder_projector.")
+    }
+    for k, v in concat.state_dict().items():
+        tensors[f"encoder_projector.{k}"] = v.detach().numpy()
+
+    rng = np.random.default_rng(8)
+    ids, mask, labels, feats, flens = _composite_batch(rng)
+    with torch.no_grad():
+        out, acc = ref.slam_model_asr.forward(
+            fake,
+            input_ids=torch.as_tensor(ids),
+            input_features=torch.as_tensor(feats),
+            attention_mask=torch.as_tensor(mask),
+            input_feature_length=torch.as_tensor(flens),
+            labels=torch.as_tensor(labels),
+        )
+
+    model, tc = _our_composite_model(
+        dict(ctc_posterior=False, do_psd=False),
+        dict(encoder_projector="linear", encoder_dim=32,
+             encoder_projector_ds_rate=2),
+        tensors,
+    )
+    batch = {
+        "input_ids": jnp.asarray(ids.astype(np.int32)),
+        "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(labels.astype(np.int32)),
+        "input_features": jnp.asarray(feats),
+        "input_feature_length": jnp.asarray(flens.astype(np.int32)),
+    }
+    loss, aux = forward(model, model.params, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(loss), float(out.loss), rtol=2e-4)
+    ntok = int(aux["ntokens"])
+    assert abs(float(aux["acc"]) - float(acc)) <= 1.01 / max(ntok, 1)
+
+
+def test_composite_cross_attention_forward_matches_reference():
+    """cross-attention projector branch (ps-slm.py:475-480): posterior
+    queries attend over the detached LLM embedding matrix; our chunked
+    online-softmax implementation must match the reference's full-scores
+    einsum through the whole composite forward."""
+    import types
+    from importlib.machinery import SourceFileLoader
+
+    import torch
+
+    from ps_slm_tpu.models.tasu import forward
+
+    ref, fake, tensors = _composite_reference(do_psd=True)
+    proj_mod = SourceFileLoader(
+        "ref_projector", f"{ro.REF_ROOT}/model/projector.py"
+    ).load_module()
+    torch.manual_seed(2)
+    ctcca = proj_mod.EncoderProjectorCTCCA(types.SimpleNamespace(
+        encoder_dim=25, llm_dim=32,
+    ), n_heads=8).eval()
+    fake.encoder_projector = ctcca
+    fake.cross_attn = True
+    tensors = {
+        k: v for k, v in tensors.items()
+        if not k.startswith("encoder_projector.")
+    }
+    for k, v in ctcca.state_dict().items():
+        tensors[f"encoder_projector.{k}"] = v.detach().numpy()
+
+    rng = np.random.default_rng(12)
+    ids, mask, labels, feats, flens = _composite_batch(rng)
+    with torch.no_grad():
+        out, acc = ref.slam_model_asr.forward(
+            fake,
+            input_ids=torch.as_tensor(ids),
+            input_features=torch.as_tensor(feats),
+            attention_mask=torch.as_tensor(mask),
+            input_feature_length=torch.as_tensor(flens),
+            labels=torch.as_tensor(labels),
+        )
+
+    model, tc = _our_composite_model(
+        dict(ctc_posterior=True, do_psd=True),
+        dict(encoder_projector="cross-attention", encoder_dim=25,
+             encoder_projector_ds_rate=1),
+        tensors,
+    )
+    batch = {
+        "input_ids": jnp.asarray(ids.astype(np.int32)),
+        "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(labels.astype(np.int32)),
+        "input_features": jnp.asarray(feats),
+        "input_feature_length": jnp.asarray(flens.astype(np.int32)),
+    }
+    loss, aux = forward(model, model.params, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(loss), float(out.loss), rtol=2e-4)
+    ntok = int(aux["ntokens"])
+    assert abs(float(aux["acc"]) - float(acc)) <= 1.01 / max(ntok, 1)
