@@ -33,8 +33,8 @@ A100_EQUIV_TARGET = 6 * 60.0  # audio-sec/sec/chip; see module docstring
 BATCH = int(os.environ.get("PS_BENCH_BATCH", "5"))
 FRAMES = 512            # encoder frames per utterance (~30.7 s audio)
 TEXT_LEN = 32
-STEPS = 5
-WARMUP = 2
+STEPS = 15              # enough timed steps to average out relay jitter
+WARMUP = 3
 
 
 def main():
