@@ -143,3 +143,65 @@ def test_greedy_decode_respects_length():
     ids, lens = ctc_greedy_decode(jnp.asarray(logp), jnp.asarray([3]))
     assert int(lens[0]) == 2
     np.testing.assert_array_equal(np.asarray(ids)[0, :2], [5, 3])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_forced_align_matches_reference_source(seed):
+    """Viterbi alignment vs the reference's own ctc_forced_align
+    (SenseVoice.py:936-1009), executed from the reference source."""
+    import sys as _sys
+    import os as _os
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    import reference_oracle as ro
+
+    sv = ro.load_ref_sensevoice()
+    rng = np.random.default_rng(seed)
+    b, t, v = 3, 14, 7
+    lens = np.asarray([t, t - 3, t - 6], np.int64)
+    tlens = np.asarray([4, 3, 2], np.int64)
+    l_max = int(tlens.max())
+    targets = np.zeros((b, l_max), np.int64)
+    for r in range(b):
+        targets[r, : tlens[r]] = rng.integers(1, v, size=tlens[r])
+    logits = rng.normal(size=(b, t, v)).astype(np.float32)
+    log_probs = logits - np.log(
+        np.exp(logits).sum(-1, keepdims=True)
+    )
+
+    want = sv.ctc_forced_align(
+        torch.tensor(log_probs), torch.tensor(targets.copy()),
+        torch.tensor(lens), torch.tensor(tlens), blank=0,
+    ).numpy()
+
+    got = np.asarray(ctc_forced_align(
+        jnp.asarray(log_probs), jnp.asarray(targets.astype(np.int32)),
+        jnp.asarray(lens.astype(np.int32)),
+        jnp.asarray(tlens.astype(np.int32)), blank=0,
+    ))
+
+    def path_score(r, path):
+        return float(sum(log_probs[r, i, path[i]] for i in range(len(path))))
+
+    def collapse(path):
+        out, prev = [], -1
+        for x in path:
+            if x != prev and x != 0:
+                out.append(int(x))
+            prev = x
+        return out
+
+    for r in range(b):
+        n = int(lens[r])
+        if int(tlens[r]) == l_max:
+            # unpadded rows: bit-identical to the reference Viterbi
+            np.testing.assert_array_equal(got[r, :n], want[r, :n]), r
+        else:
+            # KNOWN REFERENCE DEVIATION: on rows with target_len < L_max the
+            # reference's vendored ctc_forced_align can return a sub-optimal
+            # path (verified: its path scores below ours). Require that our
+            # path is a valid expansion of the target and at least as
+            # probable as the reference's.
+            assert collapse(got[r, :n]) == list(targets[r, : tlens[r]]), r
+            assert path_score(r, got[r, :n]) >= path_score(r, want[r, :n]) - 1e-5, r
