@@ -32,6 +32,7 @@ def main(argv=None):
     cfg = parse_cli(argv if argv is not None else sys.argv[1:], RunConfig())
     tc, mc, dc = cfg.train_config, cfg.model_config, cfg.dataset_config
     dc.inference_mode = True
+    _validate_decode_mode(tc)
     logger = setup_logger("decode", cfg.log_config.log_file)
 
     dtype = jnp.bfloat16 if tc.mixed_precision else jnp.float32
@@ -248,6 +249,32 @@ def _decode_continuous(
         f"{n_tokens / max(dt, 1e-9):.1f} tokens/s"
     )
     return 0
+
+
+def _validate_decode_mode(tc) -> None:
+    """The slot-pool and draft-verified paths implement plain greedy only;
+    reject knobs they would otherwise silently ignore (the static path
+    honors repetition_penalty/sampling — see inference/generate.py)."""
+    if not (tc.continuous_batching or tc.speculative_ctc):
+        return
+    mode = "continuous_batching" if tc.continuous_batching else (
+        "speculative_ctc"
+    )
+    if tc.repetition_penalty != 1.0:
+        raise ValueError(
+            f"{mode} is greedy-only and does not apply repetition_penalty; "
+            "unset it or use the static decode path"
+        )
+    if tc.do_sample:
+        raise ValueError(
+            f"{mode} is greedy-only and does not sample; unset do_sample "
+            "or use the static decode path"
+        )
+    if tc.speculative_ctc and tc.spec_window < 2:
+        raise ValueError(
+            "spec_window must be >= 2 (a 1-token window has no draft "
+            "tokens to verify — use plain greedy instead)"
+        )
 
 
 def _ctc_draft_kwargs(model, jbatch, encoder_tokenizer, tokenizer, window):

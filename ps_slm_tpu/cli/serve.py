@@ -64,6 +64,11 @@ def main(argv=None, *, stdin=None, stdout=None):
             "speculative_ctc needs the encoder BPE model "
             "(model_config.encoder_path)"
         )
+    if tc.speculative_ctc and tc.spec_window < 2:
+        raise ValueError(
+            "spec_window must be >= 2 (a 1-token window has no draft "
+            "tokens to verify — use plain greedy instead)"
+        )
 
     model = get_model_factory(mc.factory)(
         tc, mc, rng=jax.random.PRNGKey(tc.seed), dtype=dtype

@@ -167,7 +167,24 @@ def _pool_spec_steps(
         mismatched = (m < (k - 1)) & jnp.take_along_axis(
             dvalid, jnp.minimum(m, max(k - 2, 0))[:, None], axis=1
         )[:, 0]
-        consumed = jnp.where(active, m + mismatched.astype(jnp.int32), 0)
+        # bonus recovery (same as inference/speculative.py): consume the
+        # draft token matching the emitted bonus so the next window doesn't
+        # re-verify an already-emitted token and collapse acceptance
+        bonus_off = cursor + m
+        bonus_draft = jnp.take_along_axis(
+            draft, jnp.clip(bonus_off, 0, max(d_max - 1, 0))[:, None], axis=1
+        )[:, 0]
+        bonus_hit = (
+            ~mismatched
+            & (bonus_off < dlens)
+            & (bonus_draft == bonus)
+            & (acc == m + 1)
+        )
+        consumed = jnp.where(
+            active,
+            m + mismatched.astype(jnp.int32) + bonus_hit.astype(jnp.int32),
+            0,
+        )
 
         # mask emitted beyond acc so the host can take rows verbatim
         out_toks = jnp.where(o < acc[:, None], emitted, eos_token_id)

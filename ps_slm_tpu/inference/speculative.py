@@ -172,7 +172,28 @@ def speculative_greedy_generate(
         mismatched = (m < (k - 1)) & jnp.take_along_axis(
             dvalid, jnp.minimum(m, k - 2)[:, None], axis=1
         )[:, 0]
-        consumed = m + mismatched.astype(jnp.int32)
+        # bonus recovery: the emitted bonus token ends the window, and when
+        # the draft's next token equals it (always true for an oracle draft
+        # after a fully-matched window) that draft token is already spoken
+        # for — consume it so the next window doesn't re-verify it and
+        # mismatch (without this, acceptance collapses to ~1 tok/forward on
+        # non-repetitive text)
+        bonus_off = st["cursor"] + m
+        if d_max > 0:
+            bonus_draft = jnp.take_along_axis(
+                draft_ids, jnp.clip(bonus_off, 0, d_max - 1)[:, None], axis=1
+            )[:, 0]
+        else:
+            bonus_draft = jnp.full_like(bonus, -1)
+        bonus_hit = (
+            ~mismatched
+            & (bonus_off < draft_lens)
+            & (bonus_draft == bonus)
+            & (acc == m + 1)  # the bonus was actually emitted
+        )
+        consumed = m + mismatched.astype(jnp.int32) + bonus_hit.astype(
+            jnp.int32
+        )
         return dict(
             cache=cache,
             out=new_out,

@@ -511,16 +511,24 @@ def export_peft_adapters(model, path: str) -> Dict[str, np.ndarray]:
     """Write LoRA adapters in the HF-PEFT ``adapter_model.bin`` key layout
     (``base_model.model.model.layers.{i}.<module>.lora_{A,B}.weight``) so a
     reference user can resume them with ``PeftModel.from_pretrained``
-    (ps-slm.py:110-113).  Weights are exported pre-scaled by our per-layer
-    ``lora_scale`` relative to the alpha/r the PEFT config will apply."""
+    (ps-slm.py:110-113).  Weights are the raw A/B factors (NOT pre-scaled);
+    the consumer's alpha/r must match ours for the effective update to be
+    identical, so an ``adapter_config.json`` with r/alpha derived from the
+    exported leaves is written next to the weights."""
     tensors: Dict[str, np.ndarray] = {}
     layers = model.params["llm"]["layers"]
+    target_modules = []
+    r = alpha = None
     for name, hf_mod in _PEFT_MODULES.items():
         node = layers.get(name)
         if not isinstance(node, dict) or "lora_a" not in node:
             continue
+        target_modules.append(name)
         a = np.asarray(node["lora_a"], np.float32)   # [L, d_in, r]
         bb = np.asarray(node["lora_b"], np.float32)  # [L, r, d_out]
+        r = a.shape[2]
+        if "lora_scale" in node:                      # scale = alpha / r
+            alpha = float(np.asarray(node["lora_scale"])[0]) * r
         for i in range(a.shape[0]):
             pre = f"base_model.model.model.layers.{i}.{hf_mod}"
             tensors[f"{pre}.lora_A.weight"] = a[i].T        # [r, d_in]
@@ -533,6 +541,22 @@ def export_peft_adapters(model, path: str) -> Dict[str, np.ndarray]:
             {k: torch.from_numpy(v.copy()) for k, v in tensors.items()},
             os.path.join(path, "adapter_model.bin"),
         )
+        if tensors:
+            config = {
+                "peft_type": "LORA",
+                "task_type": "CAUSAL_LM",
+                "r": int(r),
+                "lora_alpha": (
+                    alpha if alpha is None else
+                    int(alpha) if float(alpha).is_integer() else float(alpha)
+                ),
+                "lora_dropout": 0.0,
+                "bias": "none",
+                "target_modules": sorted(target_modules),
+                "inference_mode": True,
+            }
+            with open(os.path.join(path, "adapter_config.json"), "w") as f:
+                json.dump(config, f, indent=2)
     return tensors
 
 

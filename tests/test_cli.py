@@ -305,3 +305,27 @@ def test_serve_cli_streams_results(fixtures, tmp_path):
     keys = {r["key"] for r in results}
     assert keys == {f"utt{i}" for i in range(8)}
     assert all("text" in r for r in results)
+
+
+def test_decode_mode_rejects_silently_ignored_knobs(fixtures):
+    """The slot-pool / draft-verified decode paths are greedy-only; knobs
+    the static path honors must be rejected, not silently ignored
+    (ADVICE r2).  Raised at config-validation time, before model build."""
+    from ps_slm_tpu.cli.decode import main
+
+    base = _common_args(fixtures) + ["++train_config.num_beams=1"]
+    with pytest.raises(ValueError, match="repetition_penalty"):
+        main(base + [
+            "++train_config.continuous_batching=true",
+            "++train_config.repetition_penalty=1.2",
+        ])
+    with pytest.raises(ValueError, match="do_sample"):
+        main(base + [
+            "++train_config.speculative_ctc=true",
+            "++train_config.do_sample=true",
+        ])
+    with pytest.raises(ValueError, match="spec_window"):
+        main(base + [
+            "++train_config.speculative_ctc=true",
+            "++train_config.spec_window=1",
+        ])

@@ -6,6 +6,8 @@ random-initialized Qwen2, covering right-padded training batches and
 left-padded generation batches, tied and untied embeddings.
 """
 
+import json
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -207,6 +209,13 @@ def test_peft_adapter_interchange_logit_parity(tmp_path):
 
     # reverse direction: our export loads into the peft model unchanged
     tensors = export_peft_adapters(model, str(tmp_path / "export"))
+    # and is resumable via PeftModel.from_pretrained: the config written
+    # next to the weights carries the r/alpha the raw A/B factors assume
+    with open(tmp_path / "export" / "adapter_config.json") as f:
+        acfg = json.load(f)
+    assert acfg["r"] == r and acfg["lora_alpha"] == alpha
+    assert acfg["peft_type"] == "LORA"
+    assert sorted(acfg["target_modules"]) == sorted(lcfg.target_modules)
     sd = {k: torch.from_numpy(v) for k, v in tensors.items()}
     missing = peft.set_peft_model_state_dict(pmodel, sd)
     assert not missing.unexpected_keys
