@@ -135,11 +135,32 @@ def main():
     audio_sec_per_step = batch * frames * 0.060  # 60 ms per LFR frame
     rate = audio_sec_per_step * STEPS / dt / n_chips
 
+    # analytic useful-FLOPs / MFU accounting (VERDICT r2 item 2; the
+    # reference only ever logged wall-clock, deepspeed_utils.py:315-316)
+    from ps_slm_tpu.utils.flops import device_peak_tflops, tasu_step_flops
+
+    fl = tasu_step_flops(
+        model.llm_cfg, model.enc_cfg, mc,
+        batch=batch, frames=frames, text_len=TEXT_LEN,
+        freeze_llm=tc.freeze_llm, freeze_encoder=tc.freeze_encoder,
+        use_peft=tc.use_peft,
+    )
+    step_s = dt / STEPS
+    tflops_per_step = fl["total"] / 1e12
+    peak = device_peak_tflops()
+    mfu = (
+        round(tflops_per_step / step_s / (peak * n_chips), 4)
+        if peak else None
+    )
+
     print(json.dumps({
         "metric": "audio_sec_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "audio-sec/s/chip",
         "vs_baseline": round(rate / A100_EQUIV_TARGET, 3),
+        "step_ms": round(step_s * 1e3, 2),
+        "model_tflops_per_step": round(tflops_per_step, 3),
+        "mfu": mfu,
     }))
 
 

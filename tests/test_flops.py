@@ -1,0 +1,191 @@
+"""Analytic FLOPs accounting (utils/flops.py) vs XLA's own cost analysis.
+
+The analytic model counts useful matmul work only; XLA's ``cost_analysis``
+additionally counts elementwise/softmax/layernorm FLOPs, so the analytic
+total must come in slightly *below* XLA's — we pin the ratio to a band.
+PSD is excluded from the step config here because its one-hot matmuls are
+deliberately not counted as useful work (see the module docstring).
+
+CAVEAT driving the config choice: XLA's HLO cost analysis counts a
+``lax.scan``/while-loop body ONCE, not times the trip count, so any
+multi-layer scan-stacked model is undercounted by ~num_layers.  The
+cross-check therefore uses single-layer configs (scan trip count 1 or no
+scan at all), where the convention is exact; multi-layer scaling is linear
+by construction.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ps_slm_tpu.config import ModelConfig, TrainConfig
+from ps_slm_tpu.models.tasu import model_factory, trainable_mask
+from ps_slm_tpu.utils import flops as flops_mod
+
+pytestmark = pytest.mark.slow  # compile-heavy
+
+BATCH, FRAMES, TEXT_LEN = 2, 128, 24
+
+LLM_OVER = dict(
+    vocab_size=2048, hidden_size=256, intermediate_size=512,
+    num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=64,
+)
+ENC_OVER = dict(
+    input_size=80, output_size=128, attention_heads=2, linear_units=256,
+    num_blocks=1, tp_blocks=0, kernel_size=11, vocab_size=512,
+)
+
+
+def _setup(freeze_llm=True, freeze_encoder=True):
+    tc = TrainConfig(
+        ctc_posterior=True, do_psd=False, freeze_llm=freeze_llm,
+        freeze_encoder=freeze_encoder, mixed_precision=False,
+    )
+    mc = ModelConfig(
+        llm_path="", encoder_path=None, encoder_projector="linear-silu",
+        encoder_dim=ENC_OVER["vocab_size"], llm_dim=LLM_OVER["hidden_size"],
+        llm_config_overrides=LLM_OVER, encoder_config_overrides=ENC_OVER,
+    )
+    model = model_factory(tc, mc, rng=jax.random.PRNGKey(0))
+    model.speech_token_id = LLM_OVER["vocab_size"] - 2
+    model.pad_token_id = LLM_OVER["vocab_size"] - 1
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 1000, size=(BATCH, TEXT_LEN)).astype(np.int32)
+    ids[:, 3] = model.speech_token_id
+    labels = ids.copy()
+    labels[:, :8] = -100
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((BATCH, TEXT_LEN), bool),
+        "labels": jnp.asarray(labels),
+        "input_features": jnp.asarray(
+            rng.normal(size=(BATCH, FRAMES, 80)).astype(np.float32)
+        ),
+        "input_feature_length": jnp.full((BATCH,), FRAMES, np.int32),
+    }
+    return tc, mc, model, batch
+
+
+def _xla_flops(fn, *args):
+    cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0]
+    if not cost or "flops" not in cost:
+        pytest.skip("backend reports no cost analysis")
+    return float(cost["flops"])
+
+
+def test_fwd_flops_within_band_of_xla():
+    tc, mc, model, batch = _setup()
+    from ps_slm_tpu.models import tasu
+
+    def fwd(params, batch):
+        loss, aux = tasu.forward(model, params, batch, jax.random.PRNGKey(0))
+        return loss
+
+    got = _xla_flops(fwd, model.params, batch)
+    want = flops_mod.tasu_step_flops(
+        model.llm_cfg, model.enc_cfg, mc,
+        batch=BATCH, frames=FRAMES, text_len=TEXT_LEN,
+    )["fwd"]
+    ratio = want / got
+    assert 0.55 <= ratio <= 1.05, (want, got, ratio)
+
+
+def test_train_step_xla_at_least_forward():
+    """XLA's cost analysis of the full train step empirically counts ~only
+    the forward (the scan-transposed backward is undercounted) — verified
+    here so the bench's MFU can't silently lean on it.  The analytic
+    backward multipliers are structural (test_freeze_flags...) and the
+    forward is pinned to XLA at ratio ~1.0 (test above)."""
+    tc, mc, model, batch = _setup()
+    from ps_slm_tpu.models import tasu
+    from ps_slm_tpu.training.step import make_train_step
+    from ps_slm_tpu.training.train_state import (
+        build_optimizer, create_train_state,
+    )
+
+    trainable = trainable_mask(model, tc)
+    tx, _ = build_optimizer(tc, trainable)
+    state = create_train_state(model.params, tx, trainable)
+    step = make_train_step(model, tx, trainable)
+    got = _xla_flops(
+        lambda s, b, k: step(s, b, k)[1]["loss"],
+        state, batch, jax.random.PRNGKey(0),
+    )
+
+    def fwd(params, b):
+        loss, _ = tasu.forward(model, params, b, jax.random.PRNGKey(0))
+        return loss
+
+    got_fwd = _xla_flops(fwd, model.params, batch)
+    assert got >= 0.95 * got_fwd, (got, got_fwd)
+    want = flops_mod.tasu_step_flops(
+        model.llm_cfg, model.enc_cfg, mc,
+        batch=BATCH, frames=FRAMES, text_len=TEXT_LEN,
+        freeze_llm=True, freeze_encoder=True,
+    )
+    # analytic total = fwd (XLA-pinned) + structural bwd; it must exceed
+    # what XLA reports (which misses the backward) and stay below 3x fwd
+    assert got_fwd < want["total"] < 3 * want["fwd"]
+
+
+def test_freeze_flags_change_bwd_accounting():
+    _, mc, model, _ = _setup()
+    frozen = flops_mod.tasu_step_flops(
+        model.llm_cfg, model.enc_cfg, mc,
+        batch=BATCH, frames=FRAMES, text_len=TEXT_LEN,
+        freeze_llm=True, freeze_encoder=True,
+    )
+    full = flops_mod.tasu_step_flops(
+        model.llm_cfg, model.enc_cfg, mc,
+        batch=BATCH, frames=FRAMES, text_len=TEXT_LEN,
+        freeze_llm=False, freeze_encoder=False,
+    )
+    assert full["bwd"] > frozen["bwd"]
+    assert full["fwd"] == frozen["fwd"]
+    # full training: bwd = 2x fwd by construction
+    assert full["bwd"] == pytest.approx(2 * full["fwd"])
+
+    # at flagship shapes (bench.py config) the frozen-LLM recipe's dgrad-only
+    # backward is strictly cheaper than the forward (the basis for the
+    # bench's "fwd+bwd should approach ~1.9x fwd" roadmap claim)
+    from ps_slm_tpu.models.qwen2 import Qwen2Config
+    from ps_slm_tpu.models.sensevoice import SenseVoiceConfig
+
+    llm = Qwen2Config.tiny(
+        vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+        num_hidden_layers=28, num_attention_heads=12,
+        num_key_value_heads=2, head_dim=128,
+    )
+    enc = SenseVoiceConfig()
+    mcfg = ModelConfig(
+        encoder_dim=25055, llm_dim=1536, encoder_projector_ds_rate=1,
+    )
+    flagship = flops_mod.tasu_step_flops(
+        llm, enc, mcfg, batch=5, frames=512, text_len=32,
+        freeze_llm=True, freeze_encoder=True,
+    )
+    assert flagship["bwd"] < flagship["fwd"]
+
+
+def test_device_peak_lookup():
+    kinds = {
+        "TPU v5 lite": 197.0, "TPU v4": 275.0, "TPU v6 lite": 918.0,
+    }
+    for kind, want in kinds.items():
+        class D:
+            platform = "tpu"
+            device_kind = kind
+
+        assert flops_mod.device_peak_tflops(D()) == want
+
+    class C:
+        platform = "cpu"
+        device_kind = "cpu"
+
+    assert flops_mod.device_peak_tflops(C()) is None
