@@ -104,8 +104,31 @@ def train(
     global_step = 0
     log = logger.info if logger else print
 
+    # mid-epoch resume fast-forward: state.step > 0 means the optimizer
+    # already consumed that many batches of the deterministic global stream
+    # (GlobalBatcher + per-epoch seed), so skip them host-side — the resumed
+    # run then sees exactly the data/LR alignment of an uninterrupted run.
+    # Exceeds the reference, whose resume is weights-only and restarts the
+    # stream (checkpoint_handler.py:169-182).
+    resume_step = int(jax.device_get(state.step))
+    if resume_step:
+        log(f"resume fast-forward: skipping {resume_step} trained batches")
+
     with trace(log_config.profile_dir):
         for epoch in range(train_config.num_epochs):
+            src = train_batches_fn(epoch)
+            if global_step < resume_step:
+                src = iter(src)
+                while global_step < resume_step:
+                    try:
+                        next(src)
+                    except StopIteration:
+                        src = None
+                        break
+                    global_step += 1
+                if src is None:
+                    continue  # epoch fully consumed before the checkpoint
+
             epoch_start = time.perf_counter()
             epoch_loss = epoch_acc = 0.0
             epoch_batches = 0
@@ -114,7 +137,7 @@ def train(
                 from ps_slm_tpu.data.prefetch import device_prefetch
 
                 for batch, gbatch in device_prefetch(
-                    train_batches_fn(epoch),
+                    src,
                     lambda b: to_device_batch(b, mesh), depth=2,
                 ):
                     timer.start()

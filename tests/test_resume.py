@@ -1,0 +1,163 @@
+"""Mid-epoch resume fast-forward (VERDICT r2 item 4).
+
+The deterministic global batch stream means a resumed run can skip exactly
+``state.step`` batches and continue bit-identically to an uninterrupted
+run — train 2 epochs straight == train 1 epoch, checkpoint, restore, train
+"2 epochs" (the first is fast-forwarded).  The reference cannot do this at
+all: its resume is weights-only (checkpoint_handler.py:169-182).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ps_slm_tpu.config import LogConfig, ModelConfig, TrainConfig
+from ps_slm_tpu.models.tasu import model_factory, trainable_mask
+from ps_slm_tpu.training.loop import train
+from ps_slm_tpu.training.train_state import (
+    build_optimizer, create_train_state,
+)
+
+pytestmark = pytest.mark.slow  # compile-heavy
+
+BATCH, FRAMES, TEXT_LEN, STEPS_PER_EPOCH = 2, 32, 12, 3
+
+LLM_OVER = dict(
+    vocab_size=512, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=16,
+)
+ENC_OVER = dict(
+    input_size=80, output_size=32, attention_heads=2, linear_units=64,
+    num_blocks=2, tp_blocks=0, kernel_size=5, vocab_size=40,
+)
+
+
+def _configs(num_epochs):
+    tc = TrainConfig(
+        ctc_posterior=True, do_psd=False, freeze_llm=False,
+        freeze_encoder=False, mixed_precision=False, num_epochs=num_epochs,
+        lr=1e-3, warmup_steps=2, total_steps=50, run_validation=False,
+        save_model=False, seed=3,
+    )
+    mc = ModelConfig(
+        llm_path="", encoder_path=None, encoder_projector="linear-silu",
+        encoder_dim=ENC_OVER["vocab_size"], llm_dim=LLM_OVER["hidden_size"],
+        llm_config_overrides=LLM_OVER, encoder_config_overrides=ENC_OVER,
+    )
+    return tc, mc
+
+
+def _batches(epoch):
+    """Deterministic per-epoch stream (stands in for GlobalBatcher)."""
+    rng = np.random.default_rng(100 + epoch)
+    out = []
+    for _ in range(STEPS_PER_EPOCH):
+        ids = rng.integers(1, 400, size=(BATCH, TEXT_LEN)).astype(np.int32)
+        ids[:, 2] = 510  # speech token
+        labels = ids.copy()
+        labels[:, :4] = -100
+        out.append({
+            "input_ids": ids,
+            "attention_mask": np.ones((BATCH, TEXT_LEN), bool),
+            "labels": labels,
+            "input_features": rng.normal(
+                size=(BATCH, FRAMES, 80)
+            ).astype(np.float32),
+            "input_feature_length": np.full((BATCH,), FRAMES, np.int32),
+        })
+    return iter(out)
+
+
+def _mesh():
+    from ps_slm_tpu.parallel.mesh import build_mesh
+
+    return build_mesh({"data": 1}, devices=[jax.devices()[0]])
+
+
+def _fresh(tc, mc):
+    model = model_factory(tc, mc, rng=jax.random.PRNGKey(tc.seed))
+    model.speech_token_id = 510
+    model.pad_token_id = 511
+    trainable = trainable_mask(model, tc)
+    tx, _ = build_optimizer(tc, trainable)
+    state = create_train_state(model.params, tx, trainable)
+    return model, trainable, tx, state
+
+
+def test_resume_fast_forward_bit_equal(tmp_path):
+    from ps_slm_tpu.training.checkpoint import (
+        restore_train_state, save_train_state,
+    )
+
+    lc = LogConfig(log_interval=100)
+
+    # straight: 2 epochs
+    tc, mc = _configs(num_epochs=2)
+    model, trainable, tx, state = _fresh(tc, mc)
+    state_straight, _ = train(
+        model, state, tx, tc, lc, _batches, None, trainable=trainable, mesh=_mesh(),
+    )
+
+    # interrupted: 1 epoch, checkpoint, restore, "2 epochs" with resume
+    tc1, _ = _configs(num_epochs=1)
+    model2, trainable2, tx2, state2 = _fresh(tc1, mc)
+    state_mid, _ = train(
+        model2, state2, tx2, tc1, lc, _batches, None, trainable=trainable2, mesh=_mesh(),
+    )
+    assert int(state_mid.step) == STEPS_PER_EPOCH
+    save_train_state(str(tmp_path / "state"), state_mid)
+
+    tc2, _ = _configs(num_epochs=2)
+    model3, trainable3, tx3, state3 = _fresh(tc2, mc)
+    state3 = restore_train_state(str(tmp_path / "state"), state3)
+    state_resumed, _ = train(
+        model3, state3, tx3, tc2, lc, _batches, None, trainable=trainable3, mesh=_mesh(),
+    )
+
+    assert int(state_resumed.step) == int(state_straight.step) == (
+        2 * STEPS_PER_EPOCH
+    )
+    flat1 = jax.tree_util.tree_leaves_with_path(state_straight.params)
+    flat2 = dict(
+        (jax.tree_util.keystr(p), l)
+        for p, l in jax.tree_util.tree_leaves_with_path(
+            state_resumed.params
+        )
+    )
+    for path, leaf in flat1:
+        got = flat2[jax.tree_util.keystr(path)]
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(got), err_msg=str(path)
+        )
+
+
+def test_resume_skips_whole_epochs(tmp_path):
+    """A checkpoint taken at an epoch boundary fast-forwards the entire
+    first epoch (continue branch) without running any step."""
+    from ps_slm_tpu.training.checkpoint import (
+        restore_train_state, save_train_state,
+    )
+
+    lc = LogConfig(log_interval=100)
+    tc1, mc = _configs(num_epochs=1)
+    model, trainable, tx, state = _fresh(tc1, mc)
+    state_mid, _ = train(
+        model, state, tx, tc1, lc, _batches, None, trainable=trainable, mesh=_mesh(),
+    )
+    save_train_state(str(tmp_path / "state"), state_mid)
+
+    # resume into a 1-epoch run: everything is already trained -> no-op
+    model2, trainable2, tx2, state2 = _fresh(tc1, mc)
+    state2 = restore_train_state(str(tmp_path / "state"), state2)
+    state_out, history = train(
+        model2, state2, tx2, tc1, lc, _batches, None, trainable=trainable2, mesh=_mesh(),
+    )
+    assert int(state_out.step) == STEPS_PER_EPOCH
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_mid.params),
+        jax.tree_util.tree_leaves(state_out.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
