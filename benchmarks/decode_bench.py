@@ -113,6 +113,7 @@ def main():
         model, jbatch, batch, frames, max_new, eos, on_tpu,
     )
     _speculative_oracle(model, jbatch, batch, max_new, eos)
+    _speculative_corruption_sweep(model, jbatch, batch, max_new, eos)
 
 
 def _ragged_comparison(model, jbatch, batch, frames, max_new, eos, on_tpu):
@@ -238,6 +239,88 @@ def _speculative_oracle(model, jbatch, batch, max_new, eos):
         "token_agreement_bf16": round(agree, 4),
         "note": "oracle draft = greedy output; real gain scales with CTC/LLM agreement",
     }))
+
+def _speculative_corruption_sweep(model, jbatch, batch, max_new, eos):
+    """Off-oracle speculative characterization (VERDICT r2 item 5): corrupt
+    the oracle draft by substituting each token with probability p and
+    report tokens/s + measured acceptance (emitted tokens per LLM forward)
+    per p.  p is a proxy for CTC-draft WER; the break-even p (where
+    speculative matches plain greedy) turns the 'between 1x and the
+    ceiling' hand-wave into a curve."""
+    import jax.numpy as jnp
+
+    from ps_slm_tpu.inference.generate import _merged_fn, generate
+    from ps_slm_tpu.inference.speculative import speculative_greedy_generate
+
+    greedy = np.asarray(generate(
+        model, model.params, jbatch, eos_token_id=eos,
+        num_beams=1, max_new_tokens=max_new,
+    ))
+    lens = np.maximum((greedy != eos).sum(axis=1).astype(np.int32), 1)
+    vocab = model.llm_cfg.vocab_size
+
+    # greedy reference timing
+    t0 = time.perf_counter()
+    for _ in range(2):
+        out = generate(
+            model, model.params, jbatch, eos_token_id=eos,
+            num_beams=1, max_new_tokens=max_new,
+        )
+        _ = np.asarray(out)
+    greedy_tps = (int((np.asarray(out) != eos).sum()) + batch) / (
+        (time.perf_counter() - t0) / 2
+    )
+
+    rows = []
+    rng = np.random.default_rng(11)
+    for p in (0.0, 0.05, 0.1, 0.2, 0.3, 0.5):
+        draft = greedy.astype(np.int32).copy()
+        flips = rng.random(draft.shape) < p
+        draft = np.where(flips, (draft + 7) % vocab, draft)
+        kwargs = dict(
+            draft_ids=jnp.asarray(draft), draft_lens=jnp.asarray(lens),
+        )
+        # warm (shapes shared across p after the first)
+        out = generate(
+            model, model.params, jbatch, eos_token_id=eos,
+            num_beams=1, max_new_tokens=max_new, **kwargs,
+        )
+        _ = np.asarray(out)
+        t0 = time.perf_counter()
+        n_runs = 2
+        for _ in range(n_runs):
+            out = generate(
+                model, model.params, jbatch, eos_token_id=eos,
+                num_beams=1, max_new_tokens=max_new, **kwargs,
+            )
+            _ = np.asarray(out)
+        dt = (time.perf_counter() - t0) / n_runs
+        toks = int((np.asarray(out) != eos).sum()) + batch
+
+        # acceptance from the instrumented path (n_fwd)
+        merged = _merged_fn(model)(model.params, jbatch)
+        _, n_fwd = speculative_greedy_generate(
+            model.params["llm"], model.llm_cfg,
+            merged.embeds, merged.attention_mask, merged.position_ids,
+            jnp.asarray(draft), jnp.asarray(lens),
+            max_new_tokens=max_new, eos_token_id=eos,
+        )
+        rows.append({
+            "p": p,
+            "tokens_per_sec": round(toks / dt, 1),
+            "speedup_vs_greedy": round(toks / dt / greedy_tps, 3),
+            "tokens_per_forward": round(toks / batch / int(n_fwd), 2),
+        })
+    print(json.dumps({
+        "metric": "decode_speculative_corruption_sweep",
+        "greedy_tokens_per_sec": round(greedy_tps, 1),
+        "sweep": rows,
+        "note": (
+            "p = per-token draft substitution rate (proxy for CTC/LLM "
+            "disagreement); output bit-identical to greedy at every p"
+        ),
+    }))
+
 
 if __name__ == "__main__":
     main()
