@@ -51,6 +51,52 @@ class HFTokenizer:
         return [self.decode(ids, skip_special_tokens) for ids in idss]
 
 
+class OwnBPETokenizer:
+    """Own byte-level BPE (data/bbpe.py) behind the HFTokenizer interface.
+
+    Used for GPT-2-style checkpoints (vocab.json + merges.txt — Qwen2/2.5
+    included) without the Rust wheel; token-for-token equality with the
+    ``tokenizers`` library is pinned in tests/test_bbpe.py.
+    """
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        from ps_slm_tpu.data.bbpe import ByteLevelBPE
+
+        self.tok = ByteLevelBPE.from_pretrained(path)
+        eos = "<|endoftext|>"
+        cfg_path = os.path.join(path, "tokenizer_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path, encoding="utf-8") as f:
+                cfg = json.load(f)
+            t = cfg.get("eos_token")
+            if isinstance(t, dict):
+                t = t.get("content")
+            if t:
+                eos = t
+        self.tok.add_special_tokens([eos, DEFAULT_SPEECH_TOKEN])
+        self.speech_token_id = self.tok.special_tokens[DEFAULT_SPEECH_TOKEN]
+        self.eos_token_id = self.tok.special_tokens[eos]
+        self.pad_token_id = self.eos_token_id  # reference: pad = eos
+        self.bos_token_id = None
+        self.default_ignore_token = DEFAULT_IGNORE_TOKEN
+
+    @property
+    def vocab_size(self) -> int:
+        return self.tok.vocab_size
+
+    def encode(self, text: str) -> List[int]:
+        return self.tok.encode(text)
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        return self.tok.decode(ids, skip_special_tokens)
+
+    def batch_decode(self, idss, skip_special_tokens: bool = True):
+        return [self.decode(ids, skip_special_tokens) for ids in idss]
+
+
 class StubTokenizer:
     """Whitespace tokenizer over a fixed-size hashed vocab (tests only)."""
 
@@ -92,6 +138,17 @@ class StubTokenizer:
 
 
 def load_tokenizer(path: Optional[str], vocab_size: int = 256):
+    """Own byte-level BPE for vocab.json/merges.txt checkpoints (Qwen2.5);
+    the transformers wheel for everything else — or always, with
+    PS_USE_HF_TOKENIZER=1 (optional fast path)."""
+    import os
+
     if path:
+        if (
+            os.environ.get("PS_USE_HF_TOKENIZER") != "1"
+            and os.path.exists(os.path.join(path, "vocab.json"))
+            and os.path.exists(os.path.join(path, "merges.txt"))
+        ):
+            return OwnBPETokenizer(path)
         return HFTokenizer(path)
     return StubTokenizer(vocab_size)
