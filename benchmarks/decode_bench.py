@@ -112,6 +112,7 @@ def main():
     _ragged_comparison(
         model, jbatch, batch, frames, max_new, eos, on_tpu,
     )
+    _beam_pool_bench(model, jbatch, batch, frames, max_new, eos)
     _speculative_oracle(model, jbatch, batch, max_new, eos)
     _speculative_corruption_sweep(model, jbatch, batch, max_new, eos)
 
@@ -188,6 +189,64 @@ def _ragged_comparison(model, jbatch, batch, frames, max_new, eos, on_tpu):
     }))
 
 
+
+
+def _beam_pool_bench(model, jbatch, batch, frames, max_new, eos):
+    """Continuous BEAM pool (inference/continuous_beam.py) throughput vs
+    the static beam path at the same beam width.  Random-init models never
+    finish early, so this measures the pool's steady-state rate (its
+    ragged-completion advantage comes on top in real serving); output is
+    bit-identical to static beam (tests/test_continuous_beam.py)."""
+    from ps_slm_tpu.inference.continuous_beam import ContinuousBeamDecoder
+    from ps_slm_tpu.inference.generate import generate
+
+    s = int(jbatch["input_ids"].shape[1])
+    n_req = 2 * batch
+    prefill_len = s + frames
+
+    def request(i):
+        return {k: v[i % batch: i % batch + 1] for k, v in jbatch.items()}
+
+    # static beam-4 timing at the same batch
+    out = generate(
+        model, model.params, jbatch, eos_token_id=eos,
+        num_beams=4, max_new_tokens=max_new,
+    )
+    _ = np.asarray(out)
+    t0 = time.perf_counter()
+    for _ in range(n_req // batch):
+        out = generate(
+            model, model.params, jbatch, eos_token_id=eos,
+            num_beams=4, max_new_tokens=max_new,
+        )
+        _ = np.asarray(out)
+    static_dt = time.perf_counter() - t0
+
+    def run_pool():
+        dec = ContinuousBeamDecoder(
+            model, model.params, num_slots=batch, prefill_len=prefill_len,
+            max_new_tokens=max_new, eos_token_id=eos, num_beams=4,
+            sync_every=8,
+        )
+        reqs = ((f"r{i}", request(i)) for i in range(n_req))
+        return sum(1 for _ in dec.run(reqs))
+
+    run_pool()  # compile warmup
+    t0 = time.perf_counter()
+    done = run_pool()
+    pool_dt = time.perf_counter() - t0
+    assert done == n_req
+
+    tokens = n_req * max_new
+    print(json.dumps({
+        "metric": "decode_beam_pool",
+        "n_requests": n_req,
+        "num_beams": 4,
+        "static_tokens_per_sec": round(tokens / static_dt, 1),
+        "pool_tokens_per_sec": round(tokens / pool_dt, 1),
+        "speedup": round(static_dt / pool_dt, 3),
+        "slots": batch,
+    }))
 
 
 def _speculative_oracle(model, jbatch, batch, max_new, eos):

@@ -87,11 +87,6 @@ def main(argv=None):
     n_tokens = 0
 
     if tc.continuous_batching:
-        if tc.num_beams != 1:
-            raise ValueError(
-                "continuous_batching requires num_beams=1 (greedy); beam "
-                "hypotheses cannot be slot-swapped independently"
-            )
         return _decode_continuous(
             model, tc, dc, tokenizer, encoder_tokenizer,
             num_hosts, host_id, pred_path, gt_path, logger,
@@ -162,10 +157,11 @@ def _decode_continuous(
     model, tc, dc, tokenizer, encoder_tokenizer,
     num_hosts, host_id, pred_path, gt_path, logger,
 ) -> int:
-    """Slot-pool greedy decode (inference/continuous.py): per-request
-    submission with immediate refill on EOS; host shard by sample index.
-    With ``speculative_ctc`` every pool step verifies a CTC-draft window
-    (inference/continuous_spec.py)."""
+    """Slot-pool decode (inference/continuous*.py): per-request submission
+    with immediate refill on completion; host shard by sample index.
+    ``num_beams>1`` uses the beam pool (bit-identical to the static
+    ``beam_generate``); with ``speculative_ctc`` every pool step verifies a
+    CTC-draft window (inference/continuous_spec.py)."""
     import time
 
     from ps_slm_tpu.data.dataset import Collator, MultiTaskDataset
@@ -176,6 +172,11 @@ def _decode_continuous(
         raise ValueError(
             "speculative_ctc needs the encoder BPE model "
             "(model_config.encoder_path) to decode the CTC draft"
+        )
+    if speculative and tc.num_beams != 1:
+        raise ValueError(
+            "speculative_ctc requires num_beams=1 (draft verification is "
+            "defined against greedy decode)"
         )
 
     ds = MultiTaskDataset(
@@ -223,6 +224,21 @@ def _decode_continuous(
             window=tc.spec_window,
             sync_every=max(tc.decode_sync_every // tc.spec_window, 2),
         )
+    elif tc.num_beams > 1:
+        from ps_slm_tpu.inference.continuous_beam import (
+            ContinuousBeamDecoder,
+        )
+
+        dec = ContinuousBeamDecoder(
+            model, model.params,
+            num_slots=tc.decode_slots,
+            prefill_len=dc.eval_max_frame_length,
+            max_new_tokens=tc.max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            num_beams=tc.num_beams,
+            length_penalty=tc.length_penalty,
+            sync_every=tc.decode_sync_every,
+        )
     else:
         dec = ContinuousGreedyDecoder(
             model, model.params,
@@ -262,13 +278,18 @@ def _validate_decode_mode(tc) -> None:
     )
     if tc.repetition_penalty != 1.0:
         raise ValueError(
-            f"{mode} is greedy-only and does not apply repetition_penalty; "
-            "unset it or use the static decode path"
+            f"{mode} does not apply repetition_penalty; unset it or use "
+            "the static decode path"
         )
     if tc.do_sample:
         raise ValueError(
-            f"{mode} is greedy-only and does not sample; unset do_sample "
-            "or use the static decode path"
+            f"{mode} does not sample; unset do_sample or use the static "
+            "decode path"
+        )
+    if tc.continuous_batching and tc.min_length > 1:
+        raise ValueError(
+            "the slot pools do not apply min_length; use the static "
+            "decode path"
         )
     if tc.speculative_ctc and tc.spec_window < 2:
         raise ValueError(

@@ -21,8 +21,9 @@ Replaces the serving half the reference delegates to HF ``generate``
     extra chunk before its refill lands; stale columns are dropped by an
     epoch check.
 
-Greedy only — beam hypotheses share prefixes and cannot be slot-swapped
-independently; use the static ``beam_generate`` for beam search.
+This module is the greedy pool; beam search gets its own pool in
+``inference/continuous_beam.py`` (slot blocks of ``num_beams`` cache rows,
+bit-identical to the static ``beam_generate``).
 """
 
 from __future__ import annotations

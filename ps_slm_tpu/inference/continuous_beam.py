@@ -1,0 +1,395 @@
+"""Continuous (slot-pool) BEAM decoding.
+
+The reference's default decode is beam-4 (ps-slm.py:660-675), so beam must
+be a first-class serving path, not only the static ``beam_generate``.
+This pool keeps ``num_slots`` independent beam searches in flight over one
+shared KV cache: slot *i*'s ``num_beams`` hypotheses occupy cache rows
+``[i*bm, (i+1)*bm)``; every pool step advances all slots one token with
+full HF beam semantics (2*bm expansion, top-bm EOS banking, length-penalty
+scoring — identical math to ``inference/generate.py::beam_generate``).
+
+Raggedness comes from a **provably outcome-identical early exit**: a slot
+is done when its finished-hypothesis bank is full AND the most optimistic
+future score of any alive beam — current best raw score (log-probs only
+ever decrease) divided by the largest possible length penalty
+``max_new**lp`` — cannot beat the worst banked score.  The final
+``finalize`` step still banks alive beams at full length exactly like the
+static decoder, so output per request is bit-identical to
+``beam_generate`` by construction (pinned in tests/test_continuous_beam.py).
+
+Same pipelined-harvest protocol as ContinuousGreedyDecoder; finished slots
+are finalized on device and refilled immediately.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ps_slm_tpu.models import qwen2
+from ps_slm_tpu.inference.continuous import _left_pad_merged
+
+NEG_INF = -1e30
+
+
+# pool state tuple:
+#   (cache[L, S*bm, h, cap, hd], pmask[S*bm, cap], positions[S],
+#    write_idx[S], tokens[S, bm], scores[S, bm], seqs[S, bm, max_new],
+#    t[S], active[S], fin_seqs[S, bm, max_new], fin_scores[S, bm],
+#    fin_valid[S, bm])
+def _init_pool(cfg, num_slots, bm, capacity, max_new, eos, dtype):
+    zs = jnp.zeros((num_slots,), jnp.int32)
+    return (
+        qwen2.init_cache(cfg, num_slots * bm, capacity, dtype=dtype),
+        jnp.zeros((num_slots * bm, capacity), bool),
+        zs,
+        zs,
+        jnp.full((num_slots, bm), eos, jnp.int32),
+        jnp.full((num_slots, bm), NEG_INF, jnp.float32),
+        jnp.full((num_slots, bm, max_new), eos, jnp.int32),
+        zs,
+        jnp.zeros((num_slots,), bool),
+        jnp.full((num_slots, bm, max_new), eos, jnp.int32),
+        jnp.full((num_slots, bm), NEG_INF, jnp.float32),
+        jnp.zeros((num_slots, bm), bool),
+    )
+
+
+def _bank(fin_seqs, fin_scores, fin_valid, cand_seqs, cand_scores, newly):
+    """Insert newly-finished candidates, keep best bm (per leading axis).
+
+    Same math as beam_generate's bank (generate.py:241-254)."""
+    bm = fin_scores.shape[-1]
+    all_scores = jnp.concatenate(
+        [fin_scores, jnp.where(newly, cand_scores, NEG_INF)], axis=-1
+    )
+    all_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=-2)
+    all_valid = jnp.concatenate([fin_valid, newly], axis=-1)
+    top, idx = jax.lax.top_k(all_scores, bm)
+    g = jnp.take_along_axis
+    return (
+        g(all_seqs, idx[..., None], axis=-2),
+        top,
+        g(all_valid, idx, axis=-1),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "eos_token_id", "capacity", "num_beams",
+                     "max_new_tokens", "length_penalty"),
+)
+def _insert_slot(
+    params, cfg, pool, slot, embeds, attn_mask, position_ids,
+    *, eos_token_id: int, capacity: int, num_beams: int,
+    max_new_tokens: int, length_penalty: float,
+):
+    """Prefill one request (B=1), install bm tiled beams at slot block."""
+    bm = num_beams
+    dtype = params["embed_tokens"].dtype
+    cache1 = qwen2.init_cache(cfg, 1, capacity, dtype=dtype)
+    s = embeds.shape[1]
+    mask1 = jnp.zeros((1, capacity), bool).at[:, :s].set(attn_mask)
+    hidden, cache1 = qwen2.forward(
+        params, cfg, embeds.astype(dtype),
+        attention_mask=mask1, position_ids=position_ids,
+        cache=cache1, cache_index=0,
+    )
+    logits = qwen2.unembed(params, hidden[:, -1:])[:, 0]     # [1, V]
+    logp0 = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[0]
+    top_val, top_tok = jax.lax.top_k(logp0, bm)              # [bm]
+    top_tok = top_tok.astype(jnp.int32)
+
+    (cache, pmask, positions, write_idx, tokens, scores, seqs, t, active,
+     fin_seqs, fin_scores, fin_valid) = pool
+
+    cache = {
+        k: jax.lax.dynamic_update_slice(
+            cache[k], jnp.repeat(cache1[k], bm, axis=1),
+            (0, slot * bm, 0, 0, 0),
+        )
+        for k in ("k", "v")
+    }
+    pmask = jax.lax.dynamic_update_slice(
+        pmask, jnp.repeat(mask1, bm, axis=0), (slot * bm, 0)
+    )
+    positions = positions.at[slot].set(position_ids[0, -1] + 1)
+    write_idx = write_idx.at[slot].set(s)
+    tokens = tokens.at[slot].set(top_tok)
+
+    seqs0 = jnp.full((bm, max_new_tokens), eos_token_id, jnp.int32)
+    seqs0 = seqs0.at[:, 0].set(top_tok)
+    seqs = seqs.at[slot].set(seqs0)
+    beam_done = top_tok == eos_token_id
+    # bank t=0 EOS beams (generate.py:256-261), scored at length 1
+    f_seqs, f_scores, f_valid = _bank(
+        jnp.full((bm, max_new_tokens), eos_token_id, jnp.int32),
+        jnp.full((bm,), NEG_INF, jnp.float32),
+        jnp.zeros((bm,), bool),
+        seqs0, top_val / (1.0 ** length_penalty), beam_done,
+    )
+    fin_seqs = fin_seqs.at[slot].set(f_seqs)
+    fin_scores = fin_scores.at[slot].set(f_scores)
+    fin_valid = fin_valid.at[slot].set(f_valid)
+    scores = scores.at[slot].set(jnp.where(beam_done, NEG_INF, top_val))
+    t = t.at[slot].set(1)
+    active = active.at[slot].set(True)
+    return (cache, pmask, positions, write_idx, tokens, scores, seqs, t,
+            active, fin_seqs, fin_scores, fin_valid)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "eos_token_id", "steps", "max_new_tokens",
+                     "num_beams", "prefill_len", "length_penalty"),
+)
+def _pool_steps(
+    params, cfg, pool, *,
+    eos_token_id: int, steps: int, max_new_tokens: int, num_beams: int,
+    prefill_len: int, length_penalty: float,
+):
+    """``steps`` beam steps over the whole pool.  Returns (pool, done[S])."""
+    bm = num_beams
+    (cache0, pmask, positions0, write_idx0, tokens0, scores0, seqs0, t0,
+     active0, fs0, fsc0, fv0) = pool
+    n_slots = positions0.shape[0]
+    slots = jnp.arange(n_slots)
+    cells = jnp.arange(pmask.shape[1])[None, :]
+
+    def body(carry, _):
+        (cache, positions, write_idx, tokens, scores, seqs, t, active,
+         fin_seqs, fin_scores, fin_valid) = carry
+
+        kv_mask = pmask | (
+            (cells >= prefill_len)
+            & (cells < jnp.repeat(write_idx + 1, bm)[:, None])
+        )
+        emb = qwen2.embed(params, tokens.reshape(-1)[:, None])
+        hidden, new_cache = qwen2.forward(
+            params, cfg, emb,
+            attention_mask=kv_mask,
+            position_ids=jnp.repeat(positions, bm)[:, None],
+            cache=cache, cache_index=jnp.repeat(write_idx, bm),
+        )
+        logits = qwen2.unembed(params, hidden)[:, 0]
+        vocab = logits.shape[-1]
+        logp = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1
+        ).reshape(n_slots, bm, vocab)
+
+        cand = scores[:, :, None] + logp
+        flat = cand.reshape(n_slots, bm * vocab)
+        top, idx = jax.lax.top_k(flat, 2 * bm)               # [S, 2bm]
+        src_beam = idx // vocab
+        tok = (idx % vocab).astype(jnp.int32)
+
+        g = jnp.take_along_axis
+        cand_seqs = g(seqs, src_beam[:, :, None], axis=1)    # [S, 2bm, L]
+        rows2 = jnp.arange(2 * bm)[None, :]
+        cand_seqs = jnp.where(
+            (jnp.arange(max_new_tokens)[None, None, :] == t[:, None, None]),
+            tok[:, :, None], cand_seqs,
+        )
+        is_eos = tok == eos_token_id
+        newly = is_eos & (rows2 < bm) & active[:, None]
+        lp = (t + 1).astype(jnp.float32) ** length_penalty
+        nfs, nfsc, nfv = _bank(
+            fin_seqs, fin_scores, fin_valid, cand_seqs,
+            top / lp[:, None], newly,
+        )
+
+        alive_scores = jnp.where(is_eos, NEG_INF, top)
+        keep, kidx = jax.lax.top_k(alive_scores, bm)         # [S, bm]
+        new_seqs = g(cand_seqs, kidx[:, :, None], axis=1)
+        beam_src = g(src_beam, kidx, axis=1)
+        new_tok = g(tok, kidx, axis=1)
+
+        # reorder the decode region of the slot's cache block by beam source
+        flat_src = (slots[:, None] * bm + beam_src).reshape(-1)
+        reordered = {}
+        for key in ("k", "v"):
+            dec = jax.lax.dynamic_slice_in_dim(
+                new_cache[key], prefill_len, max_new_tokens, axis=2
+            )
+            dec = dec[:, flat_src]
+            reordered[key] = jax.lax.dynamic_update_slice_in_dim(
+                new_cache[key], dec, prefill_len, axis=2
+            )
+
+        # freeze everything for inactive slots
+        act = active
+        actb = jnp.repeat(act, bm)
+        cache = {
+            key: jnp.where(
+                actb[None, :, None, None, None], reordered[key], cache[key]
+            )
+            for key in ("k", "v")
+        }
+        tokens = jnp.where(act[:, None], new_tok, tokens)
+        seqs = jnp.where(act[:, None, None], new_seqs, seqs)
+        scores = jnp.where(act[:, None], keep, scores)
+        fin_seqs = jnp.where(act[:, None, None], nfs, fin_seqs)
+        fin_scores = jnp.where(act[:, None], nfsc, fin_scores)
+        fin_valid = jnp.where(act[:, None], nfv, fin_valid)
+        write_idx = write_idx + act.astype(jnp.int32)
+        positions = positions + act.astype(jnp.int32)
+        t = t + act.astype(jnp.int32)
+
+        # provably outcome-identical early exit: bank full AND the most
+        # optimistic alive continuation (raw score never increases; best
+        # possible penalty divisor is max_new**lp) can't beat the worst
+        # banked hypothesis
+        opt = jnp.max(scores, axis=1) / (
+            float(max_new_tokens) ** length_penalty
+        )
+        cant_improve = jnp.all(fin_valid, axis=1) & (
+            opt <= jnp.min(fin_scores, axis=1)
+        )
+        active = act & ~cant_improve & (t < max_new_tokens)
+        carry = (cache, positions, write_idx, tokens, scores, seqs, t,
+                 active, fin_seqs, fin_scores, fin_valid)
+        return carry, None
+
+    carry = (cache0, positions0, write_idx0, tokens0, scores0, seqs0, t0,
+             active0, fs0, fsc0, fv0)
+    carry, _ = jax.lax.scan(body, carry, None, length=steps)
+    (cache, positions, write_idx, tokens, scores, seqs, t, active,
+     fin_seqs, fin_scores, fin_valid) = carry
+    new_pool = (cache, pmask, positions, write_idx, tokens, scores, seqs,
+                t, active, fin_seqs, fin_scores, fin_valid)
+    return new_pool, active
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_new_tokens", "length_penalty"),
+)
+def _finalize(pool, slot, *, max_new_tokens: int, length_penalty: float):
+    """Best hypothesis for a finished slot: alive beams compete at full
+    length against the bank, exactly like beam_generate's epilogue
+    (generate.py:356-369)."""
+    (cache, pmask, positions, write_idx, tokens, scores, seqs, t, active,
+     fin_seqs, fin_scores, fin_valid) = pool
+    lp_full = float(max_new_tokens) ** length_penalty
+    f_seqs, f_scores, f_valid = _bank(
+        fin_seqs[slot], fin_scores[slot], fin_valid[slot],
+        seqs[slot], scores[slot] / lp_full,
+        jnp.ones_like(scores[slot], bool),
+    )
+    best = jnp.argmax(jnp.where(f_valid, f_scores, NEG_INF))
+    return f_seqs[best]
+
+
+class ContinuousBeamDecoder:
+    """Slot pool of independent beam searches (HF/beam_generate semantics).
+
+    ``run(batches)`` consumes ``(key, device_batch)`` and yields
+    ``(key, tokens)`` in completion order; per-request output is identical
+    to the static ``beam_generate``."""
+
+    def __init__(
+        self, model, params, *,
+        num_slots: int = 4,
+        prefill_len: int,
+        max_new_tokens: int = 200,
+        eos_token_id: int,
+        num_beams: int = 4,
+        length_penalty: float = 1.0,
+        sync_every: int = 8,
+    ):
+        self.model = model
+        self.params = params
+        self.cfg = model.llm_cfg
+        self.num_slots = num_slots
+        self.bm = num_beams
+        self.prefill_len = prefill_len
+        self.max_new = max_new_tokens
+        self.eos = eos_token_id
+        self.lp = length_penalty
+        self.sync_every = sync_every
+        self.capacity = prefill_len + max_new_tokens
+        dtype = params["llm"]["embed_tokens"].dtype
+        self.pool = _init_pool(
+            self.cfg, num_slots, num_beams, self.capacity, max_new_tokens,
+            eos_token_id, dtype,
+        )
+        self._keys: list = [None] * num_slots
+        self._epoch: list = [0] * num_slots
+
+    def _refill(self, slot: int, batch: Dict) -> None:
+        from ps_slm_tpu.inference.generate import _merged_fn
+
+        merged = _merged_fn(self.model)(self.params, batch)
+        embeds, mask, pos = _left_pad_merged(merged, self.prefill_len)
+        self.pool = _insert_slot(
+            self.params["llm"], self.cfg, self.pool, slot,
+            embeds, mask, pos,
+            eos_token_id=self.eos, capacity=self.capacity,
+            num_beams=self.bm, max_new_tokens=self.max_new,
+            length_penalty=self.lp,
+        )
+        self._epoch[slot] += 1
+
+    def run(
+        self, batches: Iterator[Tuple[str, Dict]],
+    ) -> Iterator[Tuple[str, np.ndarray]]:
+        batches = iter(batches)
+        free = list(range(self.num_slots))
+        exhausted = False
+        inflight = None  # (active_dev, snapshot)
+
+        while True:
+            while free and not exhausted:
+                try:
+                    key, batch = next(batches)
+                except StopIteration:
+                    exhausted = True
+                    break
+                slot = free.pop()
+                self._keys[slot] = key
+                self._refill(slot, batch)
+
+            busy = [
+                i for i in range(self.num_slots) if self._keys[i] is not None
+            ]
+            if not busy and inflight is None:
+                if exhausted:
+                    return
+                continue
+
+            nxt = None
+            if busy:
+                self.pool, active = _pool_steps(
+                    self.params["llm"], self.cfg, self.pool,
+                    eos_token_id=self.eos, steps=self.sync_every,
+                    max_new_tokens=self.max_new, num_beams=self.bm,
+                    prefill_len=self.prefill_len, length_penalty=self.lp,
+                )
+                snapshot = [(i, self._keys[i], self._epoch[i]) for i in busy]
+                nxt = (active, snapshot)
+
+            if inflight is not None:
+                active, snapshot = inflight
+                active = np.asarray(jax.device_get(active))
+                for slot, key0, epoch0 in snapshot:
+                    if (
+                        self._keys[slot] != key0
+                        or self._epoch[slot] != epoch0
+                    ):
+                        continue  # finished and refilled; stale column
+                    if not active[slot]:
+                        seq = np.asarray(jax.device_get(_finalize(
+                            self.pool, slot,
+                            max_new_tokens=self.max_new,
+                            length_penalty=self.lp,
+                        )))
+                        key = self._keys[slot]
+                        self._keys[slot] = None
+                        free.append(slot)
+                        toks = seq[seq != self.eos]
+                        yield key, toks.astype(np.int32)
+
+            inflight = nxt

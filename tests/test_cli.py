@@ -329,3 +329,32 @@ def test_decode_mode_rejects_silently_ignored_knobs(fixtures):
             "++train_config.speculative_ctc=true",
             "++train_config.spec_window=1",
         ])
+
+
+def test_continuous_beam_decode_matches_static_beam(fixtures):
+    """Slot-pool beam-4 decode through the CLI produces byte-identical
+    pred files to the static beam path (the reference default decode,
+    ps-slm.py:660-675)."""
+    from ps_slm_tpu.cli.decode import main
+
+    args = _common_args(fixtures) + [
+        "++train_config.num_beams=4",
+        "++train_config.max_new_tokens=10",
+        "++train_config.decode_slots=3",
+        "++dataset_config.eval_max_frame_length=64",
+    ]
+    static = fixtures / "static_beam"
+    pool = fixtures / "pool_beam"
+    assert main(args + [f"decode_log={static}"]) == 0
+    assert main(args + [
+        "++train_config.continuous_batching=true", f"decode_log={pool}",
+    ]) == 0
+    want = dict(
+        l.split("\t", 1) for l in
+        (fixtures / "static_beam_pred").read_text().splitlines()
+    )
+    got = dict(
+        l.split("\t", 1) for l in
+        (fixtures / "pool_beam_pred").read_text().splitlines()
+    )
+    assert want == got
