@@ -422,9 +422,14 @@ def forward(
     if remat:
         body = jax.checkpoint(body)
 
+    # layer-scan unroll (PS_SCAN_UNROLL): >1 trades compile time for less
+    # per-iteration overhead / cross-layer fusion headroom
+    import os as _os
+
+    unroll = int(_os.environ.get("PS_SCAN_UNROLL", "1"))
     if cache_kv_stacked is not None:
         x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], cache_kv_stacked)
+            body, x, (params["layers"], cache_kv_stacked), unroll=unroll
         )
         new_cache = {"k": new_k, "v": new_v}
     else:
@@ -446,7 +451,7 @@ def forward(
         if remat:
             body_nocache = jax.checkpoint(body_nocache)
         x, _ = jax.lax.scan(
-            body_nocache, x, (params["layers"], layer_keys)
+            body_nocache, x, (params["layers"], layer_keys), unroll=unroll
         )
         new_cache = None
 

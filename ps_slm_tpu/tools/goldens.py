@@ -160,11 +160,28 @@ def verify(golden_path: str, encoder_dir: str = None, llm_dir: str = None):
 
 
 def main(argv=None):
+    """Asset-day one-liners (VERDICT r2 item 10) — with the released
+    checkpoints mounted and their paths exported once:
+
+        export PS_SENSEVOICE_DIR=/assets/SenseVoiceSmall
+        export PS_QWEN_DIR=/assets/Qwen2.5-1.5B-Instruct
+        python -m ps_slm_tpu.tools.goldens capture goldens.npz
+        python -m ps_slm_tpu.tools.goldens verify  goldens.npz
+
+    produce + check the encoder/LLM activation goldens; the WER row of
+    BASELINE.md then comes from the standard decode pipeline with
+    ``ckpt_path=$PS_TASU_CKPT/pytorch_model.bin`` (docs/PARITY.md)."""
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=("capture", "verify"))
     ap.add_argument("npz")
-    ap.add_argument("--encoder-dir")
-    ap.add_argument("--llm-dir")
+    ap.add_argument(
+        "--encoder-dir", default=os.environ.get("PS_SENSEVOICE_DIR"),
+        help="SenseVoiceSmall funasr dir (env PS_SENSEVOICE_DIR)",
+    )
+    ap.add_argument(
+        "--llm-dir", default=os.environ.get("PS_QWEN_DIR"),
+        help="Qwen2.5 HF dir (env PS_QWEN_DIR)",
+    )
     a = ap.parse_args(argv)
     fn = capture if a.mode == "capture" else verify
     return fn(a.npz, encoder_dir=a.encoder_dir, llm_dir=a.llm_dir)
