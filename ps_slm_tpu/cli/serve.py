@@ -12,7 +12,9 @@ Usage:
     cat requests.jsonl | python -m ps_slm_tpu.cli.serve ++model_config...
 
 Config knobs are the decode set: ``decode_slots``, ``max_new_tokens``,
-``speculative_ctc`` (+ ``spec_window``), ``quantization`` (int8 weights).
+``num_beams`` (>1 serves through the beam pool,
+inference/continuous_beam.py), ``speculative_ctc`` (+ ``spec_window``;
+greedy only), ``quantization`` (int8 weights).
 The pool keeps the device busy across requests; results stream as soon as
 each utterance finishes (docs/PERF.md serving numbers).
 """
@@ -68,6 +70,11 @@ def main(argv=None, *, stdin=None, stdout=None):
         raise ValueError(
             "spec_window must be >= 2 (a 1-token window has no draft "
             "tokens to verify — use plain greedy instead)"
+        )
+    if tc.speculative_ctc and tc.num_beams != 1:
+        raise ValueError(
+            "speculative_ctc requires num_beams=1 (draft verification is "
+            "defined against greedy decode)"
         )
 
     model = get_model_factory(mc.factory)(
@@ -139,6 +146,20 @@ def main(argv=None, *, stdin=None, stdout=None):
             eos_token_id=tokenizer.eos_token_id,
             window=tc.spec_window,
             sync_every=max(tc.decode_sync_every // tc.spec_window, 2),
+        )
+    elif tc.num_beams > 1:
+        from ps_slm_tpu.inference.continuous_beam import (
+            ContinuousBeamDecoder,
+        )
+
+        dec = ContinuousBeamDecoder(
+            model, model.params, num_slots=tc.decode_slots,
+            prefill_len=dc.eval_max_frame_length,
+            max_new_tokens=tc.max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            num_beams=tc.num_beams,
+            length_penalty=tc.length_penalty,
+            sync_every=tc.decode_sync_every,
         )
     else:
         from ps_slm_tpu.inference.continuous import ContinuousGreedyDecoder

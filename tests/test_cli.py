@@ -358,3 +358,42 @@ def test_continuous_beam_decode_matches_static_beam(fixtures):
         (fixtures / "pool_beam_pred").read_text().splitlines()
     )
     assert want == got
+
+
+def test_serve_cli_beam_pool(fixtures, tmp_path):
+    """Serving with num_beams>1 routes through the beam pool; every request
+    answered once, text equal to the static beam decode CLI output."""
+    import io
+
+    from ps_slm_tpu.cli.decode import main as decode_main
+    from ps_slm_tpu.cli.serve import main as serve_main
+
+    beam_args = [
+        "++train_config.num_beams=4",
+        "++train_config.max_new_tokens=8",
+        "++dataset_config.eval_max_frame_length=64",
+    ]
+    static = fixtures / "serve_ref"
+    assert decode_main(
+        _common_args(fixtures) + beam_args + [f"decode_log={static}"]
+    ) == 0
+    want = dict(
+        l.split("\t", 1) for l in
+        (fixtures / "serve_ref_pred").read_text().splitlines()
+    )
+
+    reqs = tmp_path / "requests.jsonl"
+    rows = (fixtures / "test" / "multitask.jsonl").read_text().splitlines()
+    reqs.write_text("\n".join(
+        json.dumps({
+            "key": json.loads(r)["key"], "path": json.loads(r)["path"],
+        }) for r in rows
+    ) + "\n")
+    out = io.StringIO()
+    rc = serve_main(_common_args(fixtures) + beam_args + [
+        "++train_config.decode_slots=3", str(reqs),
+    ], stdout=out)
+    assert rc == 0
+    results = [json.loads(l) for l in out.getvalue().splitlines()]
+    got = {r["key"]: r["text"] for r in results}
+    assert got == want
