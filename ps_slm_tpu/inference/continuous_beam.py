@@ -81,63 +81,70 @@ def _bank(fin_seqs, fin_scores, fin_valid, cand_seqs, cand_scores, newly):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "eos_token_id", "capacity", "num_beams",
-                     "max_new_tokens", "length_penalty"),
+                     "max_new_tokens", "length_penalty", "k"),
 )
-def _insert_slot(
-    params, cfg, pool, slot, embeds, attn_mask, position_ids,
+def _insert_slots(
+    params, cfg, pool, slots, embeds, attn_mask, position_ids,
     *, eos_token_id: int, capacity: int, num_beams: int,
-    max_new_tokens: int, length_penalty: float,
+    max_new_tokens: int, length_penalty: float, k: int,
 ):
-    """Prefill one request (B=1), install bm tiled beams at slot block."""
+    """Grouped refill: prefill ``k`` requests in ONE forward (B=k) and
+    install each at its slot block.  B=1 prefills waste the MXU at 1.5B —
+    batching them is the single biggest pool-overhead fix (docs/PERF.md)."""
     bm = num_beams
     dtype = params["embed_tokens"].dtype
-    cache1 = qwen2.init_cache(cfg, 1, capacity, dtype=dtype)
+    cachek = qwen2.init_cache(cfg, k, capacity, dtype=dtype)
     s = embeds.shape[1]
-    mask1 = jnp.zeros((1, capacity), bool).at[:, :s].set(attn_mask)
-    hidden, cache1 = qwen2.forward(
+    maskk = jnp.zeros((k, capacity), bool).at[:, :s].set(attn_mask)
+    hidden, cachek = qwen2.forward(
         params, cfg, embeds.astype(dtype),
-        attention_mask=mask1, position_ids=position_ids,
-        cache=cache1, cache_index=0,
+        attention_mask=maskk, position_ids=position_ids,
+        cache=cachek, cache_index=0,
     )
-    logits = qwen2.unembed(params, hidden[:, -1:])[:, 0]     # [1, V]
-    logp0 = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[0]
-    top_val, top_tok = jax.lax.top_k(logp0, bm)              # [bm]
+    logits = qwen2.unembed(params, hidden[:, -1:])[:, 0]     # [k, V]
+    logp0 = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    top_val, top_tok = jax.lax.top_k(logp0, bm)              # [k, bm]
     top_tok = top_tok.astype(jnp.int32)
 
     (cache, pmask, positions, write_idx, tokens, scores, seqs, t, active,
      fin_seqs, fin_scores, fin_valid) = pool
 
-    cache = {
-        k: jax.lax.dynamic_update_slice(
-            cache[k], jnp.repeat(cache1[k], bm, axis=1),
-            (0, slot * bm, 0, 0, 0),
+    empty_seqs = jnp.full((bm, max_new_tokens), eos_token_id, jnp.int32)
+    for i in range(k):
+        slot = slots[i]
+        cache = {
+            key: jax.lax.dynamic_update_slice(
+                cache[key],
+                jnp.repeat(cachek[key][:, i: i + 1], bm, axis=1),
+                (0, slot * bm, 0, 0, 0),
+            )
+            for key in ("k", "v")
+        }
+        pmask = jax.lax.dynamic_update_slice(
+            pmask, jnp.repeat(maskk[i: i + 1], bm, axis=0), (slot * bm, 0)
         )
-        for k in ("k", "v")
-    }
-    pmask = jax.lax.dynamic_update_slice(
-        pmask, jnp.repeat(mask1, bm, axis=0), (slot * bm, 0)
-    )
-    positions = positions.at[slot].set(position_ids[0, -1] + 1)
-    write_idx = write_idx.at[slot].set(s)
-    tokens = tokens.at[slot].set(top_tok)
+        positions = positions.at[slot].set(position_ids[i, -1] + 1)
+        write_idx = write_idx.at[slot].set(s)
+        tokens = tokens.at[slot].set(top_tok[i])
 
-    seqs0 = jnp.full((bm, max_new_tokens), eos_token_id, jnp.int32)
-    seqs0 = seqs0.at[:, 0].set(top_tok)
-    seqs = seqs.at[slot].set(seqs0)
-    beam_done = top_tok == eos_token_id
-    # bank t=0 EOS beams (generate.py:256-261), scored at length 1
-    f_seqs, f_scores, f_valid = _bank(
-        jnp.full((bm, max_new_tokens), eos_token_id, jnp.int32),
-        jnp.full((bm,), NEG_INF, jnp.float32),
-        jnp.zeros((bm,), bool),
-        seqs0, top_val / (1.0 ** length_penalty), beam_done,
-    )
-    fin_seqs = fin_seqs.at[slot].set(f_seqs)
-    fin_scores = fin_scores.at[slot].set(f_scores)
-    fin_valid = fin_valid.at[slot].set(f_valid)
-    scores = scores.at[slot].set(jnp.where(beam_done, NEG_INF, top_val))
-    t = t.at[slot].set(1)
-    active = active.at[slot].set(True)
+        seqs0 = empty_seqs.at[:, 0].set(top_tok[i])
+        seqs = seqs.at[slot].set(seqs0)
+        beam_done = top_tok[i] == eos_token_id
+        # bank t=0 EOS beams (generate.py:256-261), scored at length 1
+        f_seqs, f_scores, f_valid = _bank(
+            empty_seqs,
+            jnp.full((bm,), NEG_INF, jnp.float32),
+            jnp.zeros((bm,), bool),
+            seqs0, top_val[i] / (1.0 ** length_penalty), beam_done,
+        )
+        fin_seqs = fin_seqs.at[slot].set(f_seqs)
+        fin_scores = fin_scores.at[slot].set(f_scores)
+        fin_valid = fin_valid.at[slot].set(f_valid)
+        scores = scores.at[slot].set(
+            jnp.where(beam_done, NEG_INF, top_val[i])
+        )
+        t = t.at[slot].set(1)
+        active = active.at[slot].set(True)
     return (cache, pmask, positions, write_idx, tokens, scores, seqs, t,
             active, fin_seqs, fin_scores, fin_valid)
 
@@ -267,20 +274,24 @@ def _pool_steps(
 @functools.partial(
     jax.jit, static_argnames=("max_new_tokens", "length_penalty"),
 )
-def _finalize(pool, slot, *, max_new_tokens: int, length_penalty: float):
-    """Best hypothesis for a finished slot: alive beams compete at full
-    length against the bank, exactly like beam_generate's epilogue
-    (generate.py:356-369)."""
+def _finalize(pool, slots, *, max_new_tokens: int, length_penalty: float):
+    """Best hypotheses for finished slots (batched — one device round trip
+    per harvest, not per slot): alive beams compete at full length against
+    the bank, exactly like beam_generate's epilogue (generate.py:356-369).
+
+    ``slots``: int array [m].  Returns [m, max_new_tokens]."""
     (cache, pmask, positions, write_idx, tokens, scores, seqs, t, active,
      fin_seqs, fin_scores, fin_valid) = pool
     lp_full = float(max_new_tokens) ** length_penalty
     f_seqs, f_scores, f_valid = _bank(
-        fin_seqs[slot], fin_scores[slot], fin_valid[slot],
-        seqs[slot], scores[slot] / lp_full,
-        jnp.ones_like(scores[slot], bool),
+        fin_seqs[slots], fin_scores[slots], fin_valid[slots],
+        seqs[slots], scores[slots] / lp_full,
+        jnp.ones_like(scores[slots], bool),
     )
-    best = jnp.argmax(jnp.where(f_valid, f_scores, NEG_INF))
-    return f_seqs[best]
+    best = jnp.argmax(jnp.where(f_valid, f_scores, NEG_INF), axis=1)
+    return jnp.take_along_axis(
+        f_seqs, best[:, None, None], axis=1
+    )[:, 0]
 
 
 class ContinuousBeamDecoder:
@@ -319,19 +330,35 @@ class ContinuousBeamDecoder:
         self._keys: list = [None] * num_slots
         self._epoch: list = [0] * num_slots
 
-    def _refill(self, slot: int, batch: Dict) -> None:
+    def _refill_many(self, slot_req) -> None:
+        """Grouped refill: prefill all pending requests in power-of-two
+        B=k forwards (bounded compile variants) instead of B=1 each —
+        the B=1 prefill was the pool's dominant overhead at 1.5B
+        (docs/PERF.md beam-pool numbers)."""
         from ps_slm_tpu.inference.generate import _merged_fn
 
-        merged = _merged_fn(self.model)(self.params, batch)
-        embeds, mask, pos = _left_pad_merged(merged, self.prefill_len)
-        self.pool = _insert_slot(
-            self.params["llm"], self.cfg, self.pool, slot,
-            embeds, mask, pos,
-            eos_token_id=self.eos, capacity=self.capacity,
-            num_beams=self.bm, max_new_tokens=self.max_new,
-            length_penalty=self.lp,
-        )
-        self._epoch[slot] += 1
+        padded = []
+        for slot, key, batch in slot_req:
+            merged = _merged_fn(self.model)(self.params, batch)
+            padded.append(_left_pad_merged(merged, self.prefill_len))
+        i = 0
+        while i < len(slot_req):
+            k = 1 << ((len(slot_req) - i).bit_length() - 1)
+            chunk, ms = slot_req[i: i + k], padded[i: i + k]
+            self.pool = _insert_slots(
+                self.params["llm"], self.cfg, self.pool,
+                jnp.asarray([s for s, _, _ in chunk], jnp.int32),
+                jnp.concatenate([e for e, _, _ in ms], axis=0),
+                jnp.concatenate([m for _, m, _ in ms], axis=0),
+                jnp.concatenate([p for _, _, p in ms], axis=0),
+                eos_token_id=self.eos, capacity=self.capacity,
+                num_beams=self.bm, max_new_tokens=self.max_new,
+                length_penalty=self.lp, k=k,
+            )
+            for slot, key, _ in chunk:
+                self._keys[slot] = key
+                self._epoch[slot] += 1
+            i += k
 
     def run(
         self, batches: Iterator[Tuple[str, Dict]],
@@ -342,15 +369,16 @@ class ContinuousBeamDecoder:
         inflight = None  # (active_dev, snapshot)
 
         while True:
+            pending = []
             while free and not exhausted:
                 try:
                     key, batch = next(batches)
                 except StopIteration:
                     exhausted = True
                     break
-                slot = free.pop()
-                self._keys[slot] = key
-                self._refill(slot, batch)
+                pending.append((free.pop(), key, batch))
+            if pending:
+                self._refill_many(pending)
 
             busy = [
                 i for i in range(self.num_slots) if self._keys[i] is not None
@@ -374,18 +402,24 @@ class ContinuousBeamDecoder:
             if inflight is not None:
                 active, snapshot = inflight
                 active = np.asarray(jax.device_get(active))
-                for slot, key0, epoch0 in snapshot:
-                    if (
-                        self._keys[slot] != key0
-                        or self._epoch[slot] != epoch0
-                    ):
-                        continue  # finished and refilled; stale column
-                    if not active[slot]:
-                        seq = np.asarray(jax.device_get(_finalize(
-                            self.pool, slot,
-                            max_new_tokens=self.max_new,
-                            length_penalty=self.lp,
-                        )))
+                done = [
+                    slot for slot, key0, epoch0 in snapshot
+                    if self._keys[slot] == key0
+                    and self._epoch[slot] == epoch0
+                    and not active[slot]
+                ]
+                if done:
+                    # one batched finalize per harvest; pad the slot list
+                    # to a power of two to bound compile variants
+                    m = len(done)
+                    mp = 1 << (m - 1).bit_length() if m > 1 else 1
+                    idx = done + [done[0]] * (mp - m)
+                    seqs = np.asarray(jax.device_get(_finalize(
+                        self.pool, jnp.asarray(idx, jnp.int32),
+                        max_new_tokens=self.max_new,
+                        length_penalty=self.lp,
+                    )))[:m]
+                    for slot, seq in zip(done, seqs):
                         key = self._keys[slot]
                         self._keys[slot] = None
                         free.append(slot)
