@@ -331,16 +331,25 @@ class ContinuousBeamDecoder:
         self._epoch: list = [0] * num_slots
 
     def _refill_many(self, slot_req) -> None:
-        """Grouped refill: prefill all pending requests in power-of-two
-        B=k forwards (bounded compile variants) instead of B=1 each —
-        the B=1 prefill was the pool's dominant overhead at 1.5B
-        (docs/PERF.md beam-pool numbers)."""
-        from ps_slm_tpu.inference.generate import _merged_fn
-
-        padded = []
-        for slot, key, batch in slot_req:
-            merged = _merged_fn(self.model)(self.params, batch)
-            padded.append(_left_pad_merged(merged, self.prefill_len))
+        """Grouped refill: run the merge front half (encoder -> posterior
+        -> PSD -> projector -> merge) batched over same-shape requests and
+        prefill all pending requests in power-of-two B=k forwards —
+        per-request B=1 front halves + prefills were the pool's dominant
+        overhead at 1.5B (docs/PERF.md beam-pool numbers)."""
+        padded = [None] * len(slot_req)
+        groups: Dict[tuple, list] = {}
+        for i, (slot, key, batch) in enumerate(slot_req):
+            if all(hasattr(v, "shape") for v in batch.values()):
+                sig = tuple(sorted(
+                    (k, tuple(v.shape)) for k, v in batch.items()
+                ))
+            else:
+                sig = ("singleton", i)  # non-array payloads: no stacking
+            groups.setdefault(sig, []).append(i)
+        for idxs in groups.values():
+            merged = self._merged_rows([slot_req[i][2] for i in idxs])
+            for j, m in zip(idxs, merged):
+                padded[j] = _left_pad_merged(m, self.prefill_len)
         i = 0
         while i < len(slot_req):
             k = 1 << ((len(slot_req) - i).bit_length() - 1)
@@ -359,6 +368,30 @@ class ContinuousBeamDecoder:
                 self._keys[slot] = key
                 self._epoch[slot] += 1
             i += k
+
+    def _merged_rows(self, batches):
+        """Front half for a list of same-shape B=1 batches in ONE call:
+        stack to B=k, merge, split rows (every op is row-independent)."""
+        from types import SimpleNamespace
+
+        from ps_slm_tpu.inference.generate import _merged_fn
+
+        if len(batches) == 1:
+            return [_merged_fn(self.model)(self.params, batches[0])]
+        stacked = {
+            key: jnp.concatenate([b[key] for b in batches], axis=0)
+            for key in batches[0]
+            if hasattr(batches[0][key], "shape")
+        }
+        m = _merged_fn(self.model)(self.params, stacked)
+        return [
+            SimpleNamespace(
+                embeds=m.embeds[i: i + 1],
+                attention_mask=m.attention_mask[i: i + 1],
+                position_ids=m.position_ids[i: i + 1],
+            )
+            for i in range(len(batches))
+        ]
 
     def run(
         self, batches: Iterator[Tuple[str, Dict]],
