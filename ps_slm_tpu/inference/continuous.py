@@ -73,50 +73,65 @@ def _init_pool(cfg, num_slots: int, capacity: int, eos: int, dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "eos_token_id", "capacity"),
+    jax.jit, static_argnames=("cfg", "eos_token_id", "capacity", "k"),
 )
+def _insert_slots(
+    params, cfg, pool, slots, embeds, attn_mask, position_ids,
+    *, eos_token_id: int, capacity: int, k: int = 1,
+):
+    """Prefill ``k`` requests in ONE forward (B=k) and install each in its
+    pool row (grouped refill — B=1 prefills waste the MXU at 1.5B).
+
+    The first generated tokens are kept on device (``tok0`` channel of the
+    pool state) — no host sync here.
+    """
+    dtype = params["embed_tokens"].dtype
+    cachek = qwen2.init_cache(cfg, k, capacity, dtype=dtype)
+    s = embeds.shape[1]
+    maskk = jnp.zeros((k, capacity), bool).at[:, :s].set(attn_mask)
+    hidden, cachek = qwen2.forward(
+        params, cfg, embeds.astype(dtype),
+        attention_mask=maskk, position_ids=position_ids,
+        cache=cachek, cache_index=0,
+    )
+    tok0 = jnp.argmax(
+        qwen2.unembed(params, hidden[:, -1:])[:, 0], axis=-1
+    ).astype(jnp.int32)                                     # [k]
+
+    (cache, full_mask, positions, write_idx, last_tok, active, gen,
+     tok0_buf, tok0_fresh) = pool
+    for i in range(k):
+        slot = slots[i]
+        cache = {
+            key: jax.lax.dynamic_update_slice(
+                cache[key], cachek[key][:, i: i + 1], (0, slot, 0, 0, 0)
+            )
+            for key in ("k", "v")
+        }
+        full_mask = jax.lax.dynamic_update_slice(
+            full_mask, maskk[i: i + 1], (slot, 0)
+        )
+        positions = positions.at[slot].set(position_ids[i, -1] + 1)
+        write_idx = write_idx.at[slot].set(s)
+        last_tok = last_tok.at[slot].set(tok0[i])
+        active = active.at[slot].set(tok0[i] != eos_token_id)
+        gen = gen.at[slot].set(1)
+        tok0_buf = tok0_buf.at[slot].set(tok0[i])
+        tok0_fresh = tok0_fresh.at[slot].set(True)
+    return (cache, full_mask, positions, write_idx, last_tok, active, gen,
+            tok0_buf, tok0_fresh)
+
+
 def _insert_slot(
     params, cfg, pool, slot, embeds, attn_mask, position_ids,
     *, eos_token_id: int, capacity: int,
 ):
-    """Prefill one request (B=1) and install it in pool row ``slot``.
-
-    The first generated token is kept on device (``tok0`` channel of the
-    pool state) — no host sync here.
-    """
-    dtype = params["embed_tokens"].dtype
-    cache1 = qwen2.init_cache(cfg, 1, capacity, dtype=dtype)
-    s = embeds.shape[1]
-    mask1 = jnp.zeros((1, capacity), bool).at[:, :s].set(attn_mask)
-    hidden, cache1 = qwen2.forward(
-        params, cfg, embeds.astype(dtype),
-        attention_mask=mask1, position_ids=position_ids,
-        cache=cache1, cache_index=0,
+    """Single-request insert (kept for the speculative pool's call shape)."""
+    return _insert_slots(
+        params, cfg, pool, jnp.asarray([slot], jnp.int32),
+        embeds, attn_mask, position_ids,
+        eos_token_id=eos_token_id, capacity=capacity, k=1,
     )
-    tok0 = jnp.argmax(
-        qwen2.unembed(params, hidden[:, -1:])[:, 0], axis=-1
-    ).astype(jnp.int32)[0]
-
-    (cache, full_mask, positions, write_idx, last_tok, active, gen,
-     tok0_buf, tok0_fresh) = pool
-    cache = {
-        "k": jax.lax.dynamic_update_slice(
-            cache["k"], cache1["k"], (0, slot, 0, 0, 0)
-        ),
-        "v": jax.lax.dynamic_update_slice(
-            cache["v"], cache1["v"], (0, slot, 0, 0, 0)
-        ),
-    }
-    full_mask = jax.lax.dynamic_update_slice(full_mask, mask1, (slot, 0))
-    positions = positions.at[slot].set(position_ids[0, -1] + 1)
-    write_idx = write_idx.at[slot].set(s)
-    last_tok = last_tok.at[slot].set(tok0)
-    active = active.at[slot].set(tok0 != eos_token_id)
-    gen = gen.at[slot].set(1)
-    tok0_buf = tok0_buf.at[slot].set(tok0)
-    tok0_fresh = tok0_fresh.at[slot].set(True)
-    return (cache, full_mask, positions, write_idx, last_tok, active, gen,
-            tok0_buf, tok0_fresh)
 
 
 @functools.partial(
@@ -204,18 +219,62 @@ class ContinuousGreedyDecoder:
         self._toks: list = [[] for _ in range(num_slots)]
         self._epoch: list = [0] * num_slots
 
-    def _refill(self, slot: int, batch: Dict) -> None:
+    def _refill_many(self, slot_req) -> None:
+        """Grouped refill: batched front half over same-shape requests +
+        power-of-two B=k prefills (see ContinuousBeamDecoder)."""
+        padded = [None] * len(slot_req)
+        groups: Dict[tuple, list] = {}
+        for i, (slot, key, batch) in enumerate(slot_req):
+            if all(hasattr(v, "shape") for v in batch.values()):
+                sig = tuple(sorted(
+                    (kk, tuple(v.shape)) for kk, v in batch.items()
+                ))
+            else:
+                sig = ("singleton", i)
+            groups.setdefault(sig, []).append(i)
+        for idxs in groups.values():
+            merged = self._merged_rows([slot_req[i][2] for i in idxs])
+            for j, m in zip(idxs, merged):
+                padded[j] = _left_pad_merged(m, self.prefill_len)
+        i = 0
+        while i < len(slot_req):
+            k = 1 << ((len(slot_req) - i).bit_length() - 1)
+            chunk, ms = slot_req[i: i + k], padded[i: i + k]
+            self.pool = _insert_slots(
+                self.params["llm"], self.cfg, self.pool,
+                jnp.asarray([s for s, _, _ in chunk], jnp.int32),
+                jnp.concatenate([e for e, _, _ in ms], axis=0),
+                jnp.concatenate([m for _, m, _ in ms], axis=0),
+                jnp.concatenate([p for _, _, p in ms], axis=0),
+                eos_token_id=self.eos, capacity=self.capacity, k=k,
+            )
+            for slot, key, _ in chunk:
+                self._keys[slot] = key
+                self._toks[slot] = []
+                self._epoch[slot] += 1
+            i += k
+
+    def _merged_rows(self, batches):
+        """Front half for same-shape B=1 batches in one stacked call."""
+        from types import SimpleNamespace
+
         from ps_slm_tpu.inference.generate import _merged_fn
 
-        merged = _merged_fn(self.model)(self.params, batch)
-        embeds, mask, pos = _left_pad_merged(merged, self.prefill_len)
-        self.pool = _insert_slot(
-            self.params["llm"], self.cfg, self.pool, slot,
-            embeds, mask, pos,
-            eos_token_id=self.eos, capacity=self.capacity,
-        )
-        self._toks[slot] = []
-        self._epoch[slot] += 1
+        if len(batches) == 1:
+            return [_merged_fn(self.model)(self.params, batches[0])]
+        stacked = {
+            key: jnp.concatenate([b[key] for b in batches], axis=0)
+            for key in batches[0]
+        }
+        m = _merged_fn(self.model)(self.params, stacked)
+        return [
+            SimpleNamespace(
+                embeds=m.embeds[i: i + 1],
+                attention_mask=m.attention_mask[i: i + 1],
+                position_ids=m.position_ids[i: i + 1],
+            )
+            for i in range(len(batches))
+        ]
 
     def run(
         self, batches: Iterator[Tuple[str, Dict]],
@@ -243,15 +302,16 @@ class ContinuousGreedyDecoder:
             return key, np.asarray(toks, np.int32)
 
         while True:
+            pending = []
             while free and not exhausted:
                 try:
                     key, batch = next(batches)
                 except StopIteration:
                     exhausted = True
                     break
-                slot = free.pop()
-                self._keys[slot] = key
-                self._refill(slot, batch)
+                pending.append((free.pop(), key, batch))
+            if pending:
+                self._refill_many(pending)
 
             busy = [
                 i for i in range(self.num_slots) if self._keys[i] is not None
