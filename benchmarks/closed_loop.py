@@ -9,8 +9,11 @@ unseen random word sequences — then drives the REAL production surfaces
 end to end:
 
   1. tone-coded wav ark + JSONL manifests (train/dev/test, disjoint
-     sequences) + a tiny word-level HF tokenizer + a tiny random-init HF
-     Qwen2 checkpoint (exercising the safetensors load path),
+     sequences; every utterance appears under TWO tasks — "ASR" and a
+     "REV" reverse-order task — so prompt-conditioned multitasking is
+     exercised, not just transcription) + a tiny word-level HF tokenizer +
+     a tiny random-init HF Qwen2 checkpoint (exercising the safetensors
+     load path),
   2. ``cli/finetune`` on the audio-TASU branch (fbank -> SenseVoice encoder
      -> CTC posterior -> projector -> LLM -> merge -> CE), nothing frozen,
   3. ``cli/decode`` (beam 4, the reference default) from the exported
@@ -64,8 +67,15 @@ def synth_utterance(words, rng) -> np.ndarray:
     return np.concatenate(chunks)
 
 
-def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0):
-    """Wav ark + manifests with *sequence-disjoint* splits."""
+def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0,
+                   multitask=True):
+    """Wav ark + manifests with *sequence-disjoint* splits.
+
+    ``multitask``: each utterance also gets a second manifest row with task
+    "REV" whose target is the word sequence REVERSED — same audio,
+    different prompt, different required output.  The model can only solve
+    both by conditioning on the prompt (the reference's multitask framing,
+    ASR + EN2ZH etc., speech_dataset_large.py:151-160)."""
     from ps_slm_tpu.data import audio_io
 
     rng = np.random.default_rng(seed)
@@ -87,7 +97,11 @@ def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0):
             key = f"{split}{j}"
             words = draw()
             entries[key] = (RATE, synth_utterance(words, rng))
-            manifests[split].append((key, " ".join(words)))
+            manifests[split].append((key, "ASR", " ".join(words)))
+            if multitask:
+                manifests[split].append(
+                    (key, "REV", " ".join(reversed(words)))
+                )
 
     ark = os.path.join(workdir, "wav.ark")
     offsets = audio_io.write_kaldi_wav_ark(ark, entries)
@@ -95,14 +109,16 @@ def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0):
         d = os.path.join(workdir, split)
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "multitask.jsonl"), "w") as f:
-            for key, text in rows:
+            for key, task, text in rows:
+                row_key = key if task == "ASR" else f"{key}_{task.lower()}"
                 f.write(json.dumps({
-                    "key": key, "path": f"{ark}:{offsets[key]}",
-                    "target": text, "GT": text, "task": "ASR",
+                    "key": row_key, "path": f"{ark}:{offsets[key]}",
+                    "target": text, "GT": text, "task": task,
                 }) + "\n")
     prompt = os.path.join(workdir, "multiprompt.jsonl")
     with open(prompt, "w") as f:
         f.write(json.dumps({"task": "ASR", "prompt": "transcribe"}) + "\n")
+        f.write(json.dumps({"task": "REV", "prompt": "reverse"}) + "\n")
 
 
 def build_llm_fixture(workdir: str, hidden=64, layers=2) -> str:
@@ -120,7 +136,11 @@ def build_llm_fixture(workdir: str, hidden=64, layers=2) -> str:
     os.makedirs(path, exist_ok=True)
 
     specials = ["<unk>", "</s>", "<speech>"]
-    vocab = {t: i for i, t in enumerate(specials + ["transcribe"] + WORDS)}
+    vocab = {
+        t: i for i, t in enumerate(
+            specials + ["transcribe", "reverse"] + WORDS
+        )
+    }
     tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
     tok.pre_tokenizer = Whitespace()
     fast = transformers.PreTrainedTokenizerFast(

@@ -26,8 +26,9 @@ def test_closed_loop_pipeline(tmp_path):
     assert result["wer"] < 80.0, result
     assert os.path.exists(os.path.join(str(tmp_path), "wer_report.txt"))
     assert os.path.exists(result["ckpt"])
-    # decode artifacts in the reference's key\ttext format
+    # decode artifacts in the reference's key\ttext format; 32 held-out
+    # utterances x 2 tasks (ASR + REV)
     pred = os.path.join(str(tmp_path), "decode", "test_pred")
     with open(pred) as f:
         lines = f.read().splitlines()
-    assert len(lines) == 32 and all("\t" in l for l in lines)
+    assert len(lines) == 64 and all("\t" in l for l in lines)
