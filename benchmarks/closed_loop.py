@@ -163,7 +163,7 @@ def build_llm_fixture(workdir: str, hidden=64, layers=2) -> str:
     return path
 
 
-def _args(workdir, llm_path, out_dir, steps_cfg):
+def _args(workdir, llm_path, out_dir, steps_cfg, frame_budget=2000):
     return [
         f"++model_config.llm_path={llm_path}",
         "++model_config.encoder_projector=linear-silu",
@@ -188,7 +188,7 @@ def _args(workdir, llm_path, out_dir, steps_cfg):
         f"++dataset_config.dev_scp_file_path={workdir}/dev",
         f"++dataset_config.test_scp_file_path={workdir}/test",
         "++dataset_config.prompt_style={} <speech> ",
-        "++dataset_config.train_max_frame_length=2000",
+        f"++dataset_config.train_max_frame_length={frame_budget}",
         "++dataset_config.eval_max_frame_length=96",
         "++dataset_config.feature_bucket=48",
         "++dataset_config.token_bucket=16",
@@ -198,7 +198,8 @@ def _args(workdir, llm_path, out_dir, steps_cfg):
     ] + steps_cfg
 
 
-def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024) -> dict:
+def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024,
+        frame_budget=2000) -> dict:
     """Build fixtures, train, decode held-out, score.  Returns the metrics
     dict (wer in percent, plus counts from tools/wer).
 
@@ -217,13 +218,15 @@ def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024) -> dict:
 
     steps = [
         f"++train_config.num_epochs={epochs}",
-        "++train_config.validation_interval=20",
+        "++train_config.validation_interval=10",
         f"++train_config.lr={lr}",
         "++train_config.warmup_steps=50",
         "++train_config.total_steps=1000",
         f"++train_config.seed={seed}",
     ]
-    rc = finetune_main(_args(workdir, llm_path, out_dir, steps))
+    rc = finetune_main(
+        _args(workdir, llm_path, out_dir, steps, frame_budget)
+    )
     assert rc == 0
 
     ckpts = sorted(

@@ -19,7 +19,7 @@ pytestmark = pytest.mark.slow  # minutes of real training
 def test_closed_loop_pipeline(tmp_path):
     from benchmarks.closed_loop import run
 
-    result = run(str(tmp_path), epochs=6, n_train=192)
+    result = run(str(tmp_path), epochs=6, n_train=192, frame_budget=400)
     assert result["all"] > 0
     # 6 epochs is far from convergence; an untrained model scores ~95-100%
     # (often worse with insertions), convergence scores 0.0 (docs/PERF.md)
