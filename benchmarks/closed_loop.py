@@ -256,12 +256,131 @@ def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024,
     return result
 
 
+def pool_compare(workdir: str, ckpt: str, *, slots=8, repeats=3) -> dict:
+    """Continuous greedy pool vs static batched greedy on the TRAINED
+    closed-loop checkpoint.
+
+    docs/PERF.md's pool section noted the pool's ragged-completion win is
+    something "random-init weights cannot exhibit — re-measure on trained
+    checkpoints": this is that measurement.  The trained model emits real
+    EOS at 3-6 word answers under the 12-token cap, so slot refills happen
+    on genuine completion raggedness rather than `stop_after` simulation.
+    Outputs are asserted identical per key across the two modes.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ps_slm_tpu.config import RunConfig, parse_cli
+    from ps_slm_tpu.data.dataset import Collator, MultiTaskDataset
+    from ps_slm_tpu.data.tokenizer import load_tokenizer
+    from ps_slm_tpu.inference.continuous import ContinuousGreedyDecoder
+    from ps_slm_tpu.inference.generate import generate
+    from ps_slm_tpu.registry import get_model_factory
+    from ps_slm_tpu.training import checkpoint as ckpt_lib
+
+    llm_path = os.path.join(workdir, "tiny_llm")
+    cfg = parse_cli(
+        _args(workdir, llm_path, os.path.join(workdir, "out"), []),
+        RunConfig(),
+    )
+    tc, mc, dc = cfg.train_config, cfg.model_config, cfg.dataset_config
+    dc.inference_mode = True
+    dtype = jnp.bfloat16 if tc.mixed_precision else jnp.float32
+    tokenizer = load_tokenizer(mc.llm_path or None)
+    model = get_model_factory(mc.factory)(
+        tc, mc, rng=jax.random.PRNGKey(0), dtype=dtype
+    )
+    model.speech_token_id = tokenizer.speech_token_id
+    model.pad_token_id = tokenizer.pad_token_id
+    model.fbank_cfg = dc.fbank
+    ckpt_lib.import_reference_checkpoint(model, ckpt, dtype)
+
+    ds = MultiTaskDataset(dc, tokenizer, "test")
+    coll = Collator(tokenizer, dc, inference_mode=True)
+    samples = list(ds)
+    eos = tokenizer.eos_token_id
+    max_new = tc.max_new_tokens
+
+    def jb_of(rows):
+        hb = coll(rows)
+        return {
+            k: jnp.asarray(v) for k, v in hb.items()
+            if isinstance(v, np.ndarray)
+        }
+
+    chunks = [
+        (samples[i: i + slots], jb_of(samples[i: i + slots]))
+        for i in range(0, len(samples), slots)
+    ]
+    requests = [(s.key, jb_of([s])) for s in samples]
+
+    def trim(row):
+        out = []
+        for t in row:
+            if int(t) == eos:
+                break
+            out.append(int(t))
+        return out
+
+    def run_static():
+        res = {}
+        for rows, jb in chunks:
+            out = np.asarray(generate(
+                model, model.params, jb, eos_token_id=eos,
+                num_beams=1, max_new_tokens=max_new,
+            ))
+            for s, row in zip(rows, out):
+                res[s.key] = trim(row)
+        return res
+
+    def run_pool():
+        dec = ContinuousGreedyDecoder(
+            model, model.params, num_slots=slots,
+            prefill_len=dc.eval_max_frame_length, max_new_tokens=max_new,
+            eos_token_id=eos, sync_every=tc.decode_sync_every,
+        )
+        return {
+            k: [int(t) for t in v] for k, v in dec.run(iter(requests))
+        }
+
+    static_res = run_static()   # compile warmup, untimed
+    pool_res = run_pool()
+    assert static_res == pool_res, "pool output diverged from static greedy"
+
+    times = {}
+    for name, fn in (("static", run_static), ("pool", run_pool)):
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            fn()
+        times[name] = (time.perf_counter() - t0) / repeats
+
+    lengths = sorted(len(v) for v in static_res.values())
+    tokens = sum(lengths)
+    return {
+        "metric": "closed_loop_pool_vs_static",
+        "n_requests": len(samples),
+        "tokens": tokens,
+        "completion_lengths": {
+            "min": lengths[0], "max": lengths[-1],
+            "mean": round(tokens / len(lengths), 2),
+        },
+        "static_tokens_per_sec": round(tokens / times["static"], 1),
+        "pool_tokens_per_sec": round(tokens / times["pool"], 1),
+        "speedup": round(times["static"] / times["pool"], 3),
+        "slots": slots,
+        "outputs_identical": True,
+    }
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     workdir = "/tmp/ps_closed_loop"
     epochs = 50
+    do_pool = "--pool-compare" in argv
     for a in argv:
-        if a == "--platform" or a == "cpu":
+        if a in ("--platform", "cpu", "--pool-compare"):
             continue
         if a.startswith("--workdir="):
             workdir = a.split("=", 1)[1]
@@ -279,6 +398,8 @@ def main(argv=None):
         "unit": "%WER", "n_ref_tokens": result["all"],
         "ckpt": result["ckpt"],
     }))
+    if do_pool:
+        print(json.dumps(pool_compare(workdir, result["ckpt"])))
     return 0
 
 

@@ -38,7 +38,8 @@ def main():
             linear_units=2048, num_blocks=50, tp_blocks=20, kernel_size=11,
             vocab_size=25055,
         )
-        batch, frames, max_new = 8, 256, 32
+        batch = int(os.environ.get("PS_BENCH_DECODE_BATCH", "8"))
+        frames, max_new = 256, 32
     else:
         llm_over = dict(
             vocab_size=512, hidden_size=64, intermediate_size=128,
@@ -108,6 +109,9 @@ def main():
             "rtf": round(dt / audio_sec, 4),
             "batch": batch, "frames": frames, "max_new_tokens": max_new,
         }))
+
+    if os.environ.get("PS_BENCH_STATIC_ONLY") == "1":
+        return
 
     _ragged_comparison(
         model, jbatch, batch, frames, max_new, eos, on_tpu,

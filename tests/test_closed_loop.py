@@ -32,3 +32,13 @@ def test_closed_loop_pipeline(tmp_path):
     with open(pred) as f:
         lines = f.read().splitlines()
     assert len(lines) == 64 and all("\t" in l for l in lines)
+
+    # trained-checkpoint pool-vs-static compare (real EOS raggedness);
+    # pool_compare itself asserts per-key output identity between modes
+    from benchmarks.closed_loop import pool_compare
+
+    cmp = pool_compare(str(tmp_path), result["ckpt"], repeats=1)
+    assert cmp["outputs_identical"]
+    assert cmp["n_requests"] == 64
+    assert 1 <= cmp["completion_lengths"]["min"]
+    assert cmp["completion_lengths"]["max"] <= 12
