@@ -86,6 +86,13 @@ def main():
     eos = 0
     audio_sec = batch * frames * 0.060
 
+    if os.environ.get("PS_BENCH_RAGGED_ONLY") == "1":
+        # pool batch-scaling runs: skip the static sweep + later sections
+        _ragged_comparison(
+            model, jbatch, batch, frames, max_new, eos, on_tpu,
+        )
+        return
+
     for beams in (1, 4):
         out = generate(
             model, model.params, jbatch, eos_token_id=eos,
