@@ -268,34 +268,16 @@ def _decode_continuous(
 
 
 def _validate_decode_mode(tc) -> None:
-    """The slot-pool and draft-verified paths implement plain greedy only;
-    reject knobs they would otherwise silently ignore (the static path
-    honors repetition_penalty/sampling — see inference/generate.py)."""
+    """Static decode honors all knobs; the pool / draft-verified paths do
+    not — reject what they would silently ignore (shared with serve)."""
     if not (tc.continuous_batching or tc.speculative_ctc):
         return
+    from ps_slm_tpu.inference import validate_pool_decode_knobs
+
     mode = "continuous_batching" if tc.continuous_batching else (
         "speculative_ctc"
     )
-    if tc.repetition_penalty != 1.0:
-        raise ValueError(
-            f"{mode} does not apply repetition_penalty; unset it or use "
-            "the static decode path"
-        )
-    if tc.do_sample:
-        raise ValueError(
-            f"{mode} does not sample; unset do_sample or use the static "
-            "decode path"
-        )
-    if tc.continuous_batching and tc.min_length > 1:
-        raise ValueError(
-            "the slot pools do not apply min_length; use the static "
-            "decode path"
-        )
-    if tc.speculative_ctc and tc.spec_window < 2:
-        raise ValueError(
-            "spec_window must be >= 2 (a 1-token window has no draft "
-            "tokens to verify — use plain greedy instead)"
-        )
+    validate_pool_decode_knobs(tc, mode)
 
 
 def _ctc_draft_kwargs(model, jbatch, encoder_tokenizer, tokenizer, window):

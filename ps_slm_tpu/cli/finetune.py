@@ -115,12 +115,13 @@ def main(argv=None):
     batch_axes = mesh.shape["data"] * mesh.shape["fsdp"]
     batch_multiple = max(1, batch_axes // num_hosts)
 
-    def train_batches(epoch):
+    def train_batches(epoch, skip_batches=0):
         return iter(dataset_factory(
             dc, tokenizer, "train", encoder_tokenizer=encoder_tokenizer,
             num_hosts=num_hosts, host_id=host_id,
             fixed_batch_size=fixed_bs, batch_multiple=batch_multiple,
             seed=tc.seed + epoch,  # fresh prompt draws per epoch
+            skip_batches=skip_batches,
         ))
 
     eval_batches = None

@@ -66,16 +66,10 @@ def main(argv=None, *, stdin=None, stdout=None):
             "speculative_ctc needs the encoder BPE model "
             "(model_config.encoder_path)"
         )
-    if tc.speculative_ctc and tc.spec_window < 2:
-        raise ValueError(
-            "spec_window must be >= 2 (a 1-token window has no draft "
-            "tokens to verify — use plain greedy instead)"
-        )
-    if tc.speculative_ctc and tc.num_beams != 1:
-        raise ValueError(
-            "speculative_ctc requires num_beams=1 (draft verification is "
-            "defined against greedy decode)"
-        )
+    # every serve path routes through a slot pool — validate unconditionally
+    from ps_slm_tpu.inference import validate_pool_decode_knobs
+
+    validate_pool_decode_knobs(tc, "serve (slot-pool decoding)")
 
     model = get_model_factory(mc.factory)(
         tc, mc, rng=jax.random.PRNGKey(tc.seed), dtype=dtype

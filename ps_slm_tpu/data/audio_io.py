@@ -276,6 +276,67 @@ def write_kaldi_wav_ark(path: str, entries) -> dict:
     return offsets
 
 
+def audio_num_samples(path: str, target_rate: int = 16000) -> int:
+    """Length (in target_rate samples) that ``load_audio`` would return —
+    from headers only, no sample decode.  Used by the resume fast-forward
+    (training/loop.py) so skipping already-trained batches costs header
+    reads, not full audio decodes; must stay formula-identical to
+    ``load_audio`` (same mono-mix frame count, same resample rounding)."""
+    ext = os.path.splitext(path.split(":")[0])[1].lower()
+    fpath, offset = parse_path(path)
+    rate = n = None
+    if ext == ".flac":
+        lib = _native()
+        if lib is not None and hasattr(lib, "ps_flac_info"):
+            meta = lib._FlacMeta()
+            rc = lib.ps_flac_info(fpath.encode(), offset, ctypes.byref(meta))
+            if rc == 0 and meta.total_samples > 0:
+                rate, n = meta.sample_rate, meta.total_samples
+        if n is None:
+            from ps_slm_tpu.data.flac import stream_info
+
+            r, _, _, total = stream_info(fpath, offset)
+            if total > 0:
+                rate, n = r, total
+    else:
+        lib = _native()
+        if lib is not None:
+            meta = lib._WavMeta()
+            rc = lib.ps_wav_info(fpath.encode(), offset, ctypes.byref(meta))
+            if rc == 0:
+                rate, n = meta.sample_rate, meta.num_frames
+        if n is None:
+            with open(fpath, "rb") as f:
+                f.seek(offset)
+                riff = f.read(12)
+                if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+                    raise ValueError(
+                        f"not a RIFF/WAVE stream: {fpath}:{offset}"
+                    )
+                channels = rate = None
+                while True:
+                    hdr = f.read(8)
+                    if len(hdr) < 8:
+                        raise ValueError(f"no data chunk in {fpath}:{offset}")
+                    cid = hdr[:4]
+                    size = int.from_bytes(hdr[4:8], "little")
+                    if cid == b"fmt ":
+                        fmt = f.read(size + (size & 1))
+                        channels = int.from_bytes(fmt[2:4], "little")
+                        rate = int.from_bytes(fmt[4:8], "little")
+                    elif cid == b"data":
+                        n = size // (2 * max(channels or 1, 1))
+                        break
+                    else:
+                        f.seek(size + (size & 1), 1)
+    if n is None:
+        # unknown-length stream (e.g. FLAC total_samples=0): decode
+        return len(load_audio(path, target_rate))
+    if rate != target_rate:
+        n = int(round(n * target_rate / rate))
+    return n
+
+
 def load_audio(path: str, target_rate: int = 16000) -> np.ndarray:
     """Resolve a manifest `path` field to float32 mono at target_rate.
 

@@ -7,9 +7,9 @@ the HF files — this module is it:
 
   * loads the standard ``vocab.json`` + ``merges.txt`` (and added special
     tokens) of any GPT-2-style checkpoint, including Qwen2.5's;
-  * GPT-2 byte->unicode table, regex pre-tokenization (Qwen's cl100k-style
-    pattern by default, GPT-2's classic pattern selectable), ranked-pair
-    merge loop with per-pretoken caching;
+  * GPT-2 byte->unicode table, regex pre-tokenization (Qwen2's exact
+    pattern by default, GPT-2's classic pattern auto-selected from
+    ``tokenizer_class``), ranked-pair merge loop with per-pretoken caching;
   * special tokens are matched before pre-tokenization, exactly like
     ``tokenizers``' added-token machinery;
   * byte-exact decode via the inverse byte table.
@@ -27,11 +27,14 @@ import os
 from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
 
-# Qwen2/2.5 pattern (tokenizer.json pre_tokenizer; cl100k-base family)
+# Qwen2/2.5 pattern — byte-for-byte the wheel's
+# transformers.models.qwen2.tokenization_qwen2.PRETOKENIZE_REGEX (note:
+# single \p{N}, unlike cl100k's \p{N}{1,3}); equality with the wheel's
+# constant is pinned in tests/test_bbpe.py.
 QWEN_PATTERN = (
     r"(?i:'s|'t|'re|'ve|'m|'ll|'d)"
     r"|[^\r\n\p{L}\p{N}]?\p{L}+"
-    r"|\p{N}{1,3}"
+    r"|\p{N}"
     r"| ?[^\s\p{L}\p{N}]+[\r\n]*"
     r"|\s*[\r\n]+"
     r"|\s+(?!\S)"
@@ -105,32 +108,49 @@ class ByteLevelBPE:
                     continue
                 a, _, b = line.partition(" ")
                 merges.append((a, b))
-        specials: List[str] = []
+        specials: Dict[str, Optional[int]] = {}
         cfg_path = os.path.join(path, "tokenizer_config.json")
+        cfg = {}
         if os.path.exists(cfg_path):
             with open(cfg_path, encoding="utf-8") as f:
                 cfg = json.load(f)
+            # added_tokens_decoder maps EXPLICIT id -> {content: ...}; the
+            # id keys are authoritative (they are the checkpoint's embedding
+            # rows), never re-derived from enumeration order.
             added = cfg.get("added_tokens_decoder", {})
-            specials = [
-                v["content"] for v in added.values()
-                if isinstance(v, dict) and "content" in v
-            ]
+            for k, v in added.items():
+                if isinstance(v, dict) and "content" in v:
+                    specials[v["content"]] = int(k)
             for k in ("eos_token", "pad_token", "unk_token", "bos_token"):
                 t = cfg.get(k)
                 if isinstance(t, dict):
                     t = t.get("content")
                 if t and t not in specials:
-                    specials.append(t)
-        tok = cls(vocab, merges, pattern=pattern or QWEN_PATTERN)
+                    specials[t] = None
+        if pattern is None:
+            # transformers.models.qwen2 applies QWEN_PATTERN; classic GPT-2
+            # family checkpoints use the ByteLevel pre-tokenizer pattern.
+            klass = str(cfg.get("tokenizer_class", ""))
+            pattern = GPT2_PATTERN if klass.startswith("GPT2") \
+                else QWEN_PATTERN
+        tok = cls(vocab, merges, pattern=pattern)
         if specials:
             tok.add_special_tokens(specials)
         return tok
 
-    def add_special_tokens(self, tokens: List[str]) -> None:
+    def add_special_tokens(self, tokens) -> None:
+        """Register special tokens.  ``tokens`` is a list of strings (ids
+        assigned as max-existing+1, matching HF fast-tokenizer behavior for
+        genuinely new tokens) or a dict ``{content: id-or-None}`` carrying
+        the checkpoint's explicit ids (``added_tokens_decoder`` keys)."""
         import regex
 
-        for t in tokens:
-            if t in self.vocab:
+        if not isinstance(tokens, dict):
+            tokens = {t: None for t in tokens}
+        for t, explicit in tokens.items():
+            if explicit is not None:
+                self.special_tokens[t] = int(explicit)
+            elif t in self.vocab:
                 self.special_tokens[t] = self.vocab[t]
             elif t not in self.special_tokens:
                 nid = (

@@ -83,6 +83,7 @@ class MultiTaskDataset:
         encoder_tokenizer=None,
         *,
         load_audio: bool = True,
+        lazy_audio: bool = False,
         seed: int = 42,
     ):
         self.cfg = dataset_config
@@ -91,6 +92,7 @@ class MultiTaskDataset:
         self.split = split
         self.inference_mode = split == "test" or dataset_config.inference_mode
         self.load_audio = load_audio
+        self.lazy_audio = lazy_audio
         self.seed = seed
         self.prompts = load_multiprompt(dataset_config.multitask_prompt_path)
 
@@ -118,6 +120,7 @@ class MultiTaskDataset:
         self.split = "serve"
         self.inference_mode = True
         self.load_audio = True
+        self.lazy_audio = False
         self.seed = 0
         self.prompts = load_multiprompt(dataset_config.multitask_prompt_path)
         self.data_path = None
@@ -165,8 +168,19 @@ class MultiTaskDataset:
         if self.load_audio:
             from ps_slm_tpu.data import audio_io
 
-            waveform = audio_io.load_audio(path, self.sample_rate)
-            n = len(waveform)
+            if self.lazy_audio:
+                # resume fast-forward: header-only length (identical to
+                # len(load_audio(...)) by construction) keeps filtering and
+                # bucketing bit-equal while deferring the decode to the
+                # collator — skipped batches never decode at all
+                n = audio_io.audio_num_samples(path, self.sample_rate)
+                waveform = (
+                    lambda p=path, sr=self.sample_rate:
+                    audio_io.load_audio(p, sr)
+                )
+            else:
+                waveform = audio_io.load_audio(path, self.sample_rate)
+                n = len(waveform)
             if n > self.max_samples or n < self.min_samples:
                 return None  # 0.1-30 s filter (speech_dataset_large.py:111)
             if self.cfg.encoder == "whisper":
@@ -281,6 +295,9 @@ class Collator:
         self.inference_mode = inference_mode
 
     def __call__(self, samples: List[Sample]) -> Dict[str, np.ndarray]:
+        for s in samples:
+            if callable(s.waveform):  # lazy_audio: decode at collate time
+                s.waveform = s.waveform()
         left = self.inference_mode
         pad_id = self.tokenizer.pad_token_id
         ignore = self.tokenizer.default_ignore_token
@@ -372,6 +389,7 @@ class GlobalBatcher:
         num_hosts: int = 1, host_id: int = 0,
         batch_multiple: int = 1,
         fixed_batch_size: Optional[int] = None,
+        skip_batches: int = 0,
     ):
         self.dataset = dataset
         self.collator = collator
@@ -381,6 +399,7 @@ class GlobalBatcher:
         self.host_id = host_id
         self.batch_multiple = batch_multiple
         self.fixed_batch_size = fixed_batch_size
+        self.skip_batches = skip_batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.fixed_batch_size:
@@ -389,7 +408,15 @@ class GlobalBatcher:
             buckets = dynamic_batches(
                 iter(self.dataset), self.max_frame_length, self.ds_rate
             )
+        skipped = 0
         for bucket in buckets:
+            if skipped < self.skip_batches:
+                # resume fast-forward: bucketing already consumed the
+                # sample stream; a marker stands in for the collated batch
+                # (no decode with lazy_audio, no collation at all)
+                skipped += 1
+                yield {"batch_skipped": True}
+                continue
             mine = bucket[self.host_id:: self.num_hosts]
             per_host = -(-len(bucket) // self.num_hosts)
             per_host = -(-per_host // self.batch_multiple) * self.batch_multiple
@@ -407,7 +434,7 @@ def get_speech_dataset(
     dataset_config, tokenizer, split: str, encoder_tokenizer=None,
     num_hosts: int = 1, host_id: int = 0, load_audio: bool = True,
     fixed_batch_size: Optional[int] = None, seed: int = 42,
-    batch_multiple: int = 1,
+    batch_multiple: int = 1, skip_batches: int = 0,
 ):
     """Reference ``get_speech_dataset`` (speech_dataset_large.py:340-346).
 
@@ -422,6 +449,7 @@ def get_speech_dataset(
     ds = MultiTaskDataset(
         dataset_config, tokenizer, split,
         encoder_tokenizer=encoder_tokenizer, load_audio=load_audio,
+        lazy_audio=skip_batches > 0,
         seed=seed,
     )
     inference = split == "test" or dataset_config.inference_mode
@@ -435,4 +463,5 @@ def get_speech_dataset(
         num_hosts=num_hosts, host_id=host_id,
         batch_multiple=batch_multiple,
         fixed_batch_size=fixed_batch_size,
+        skip_batches=skip_batches,
     )

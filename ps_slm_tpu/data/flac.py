@@ -257,6 +257,36 @@ def _decode_frame(
     return np.stack(chans, axis=1).astype(np.int32), rate
 
 
+def stream_info(path: str, offset: int = 0) -> Tuple[int, int, int, int]:
+    """STREAMINFO only — (rate, channels, bps, total_samples) without
+    decoding any frame.  total_samples may be 0 (= unknown per spec)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        if f.read(4) != b"fLaC":
+            raise ValueError(f"not a FLAC stream: {path}:{offset}")
+        streaminfo = None
+        while True:
+            hdr = f.read(4)
+            if len(hdr) < 4:
+                break
+            last = hdr[0] & 0x80
+            btype = hdr[0] & 0x7F
+            length = int.from_bytes(hdr[1:4], "big")
+            block = f.read(length)
+            if btype == 0:
+                streaminfo = block
+            if last:
+                break
+    if streaminfo is None:
+        raise ValueError("flac: missing STREAMINFO")
+    bits = int.from_bytes(streaminfo[10:18], "big")
+    rate = (bits >> 44) & 0xFFFFF
+    channels = ((bits >> 41) & 0x7) + 1
+    bps = ((bits >> 36) & 0x1F) + 1
+    total = bits & ((1 << 36) - 1)
+    return rate, channels, bps, total
+
+
 def read_flac(path: str, offset: int = 0) -> Tuple[int, np.ndarray]:
     """Decode a FLAC file. Returns (sample_rate, float32 mono in [-1, 1])."""
     with open(path, "rb") as f:

@@ -138,9 +138,11 @@ class StubTokenizer:
 
 
 def load_tokenizer(path: Optional[str], vocab_size: int = 256):
-    """Own byte-level BPE for vocab.json/merges.txt checkpoints (Qwen2.5);
-    the transformers wheel for everything else — or always, with
-    PS_USE_HF_TOKENIZER=1 (optional fast path)."""
+    """Own byte-level BPE for vocab.json/merges.txt checkpoints whose
+    pre-tokenization we implement (Qwen2/2.5 and classic GPT-2 — selected
+    from ``tokenizer_class``); the transformers wheel for everything else —
+    or always, with PS_USE_HF_TOKENIZER=1 (optional fast path)."""
+    import json
     import os
 
     if path:
@@ -149,6 +151,14 @@ def load_tokenizer(path: Optional[str], vocab_size: int = 256):
             and os.path.exists(os.path.join(path, "vocab.json"))
             and os.path.exists(os.path.join(path, "merges.txt"))
         ):
-            return OwnBPETokenizer(path)
+            klass = ""
+            cfg_path = os.path.join(path, "tokenizer_config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path, encoding="utf-8") as f:
+                    klass = str(json.load(f).get("tokenizer_class", ""))
+            # unknown classes may pre-tokenize differently (e.g. Llama's
+            # digit handling) — those go to the wheel, not a silent guess
+            if not klass or klass.startswith(("Qwen2", "GPT2")):
+                return OwnBPETokenizer(path)
         return HFTokenizer(path)
     return StubTokenizer(vocab_size)

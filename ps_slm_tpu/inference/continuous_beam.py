@@ -36,8 +36,9 @@ from ps_slm_tpu.inference.continuous import _left_pad_merged
 NEG_INF = -1e30
 
 
-# pool state tuple:
-#   (cache[L, S*bm, h, cap, hd], pmask[S*bm, cap], positions[S],
+# pool state tuple (cache layout per qwen2.init_cache:
+#  [L, S*bm, cap, kv_heads, hd] — capacity is axis 2):
+#   (cache, pmask[S*bm, cap], positions[S],
 #    write_idx[S], tokens[S, bm], scores[S, bm], seqs[S, bm, max_new],
 #    t[S], active[S], fin_seqs[S, bm, max_new], fin_scores[S, bm],
 #    fin_valid[S, bm])
@@ -247,12 +248,15 @@ def _pool_steps(
         t = t + act.astype(jnp.int32)
 
         # provably outcome-identical early exit: bank full AND the most
-        # optimistic alive continuation (raw score never increases; best
-        # possible penalty divisor is max_new**lp) can't beat the worst
-        # banked hypothesis
-        opt = jnp.max(scores, axis=1) / (
+        # optimistic alive continuation (raw score never increases, is
+        # <= 0; L**lp over achievable finish lengths is maximized at
+        # L=max_new for lp>=0 but at the SHORTEST length for lp<0 — bound
+        # with L=1 there) can't beat the worst banked hypothesis
+        opt_div = (
             float(max_new_tokens) ** length_penalty
+            if length_penalty >= 0 else 1.0
         )
+        opt = jnp.max(scores, axis=1) / opt_div
         cant_improve = jnp.all(fin_valid, axis=1) & (
             opt <= jnp.min(fin_scores, axis=1)
         )

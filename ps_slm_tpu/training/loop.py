@@ -17,6 +17,7 @@ global batching guarantees equal step counts; and the host->device cast loop
 
 from __future__ import annotations
 
+import itertools
 import os
 import time
 from typing import Callable, Dict, Iterable, Optional
@@ -116,16 +117,41 @@ def train(
 
     with trace(log_config.profile_dir):
         for epoch in range(train_config.num_epochs):
-            src = train_batches_fn(epoch)
-            if global_step < resume_step:
+            need_skip = max(resume_step - global_step, 0)
+            src = None
+            if need_skip:
+                import inspect
+
+                try:
+                    params = inspect.signature(train_batches_fn).parameters
+                except (TypeError, ValueError):
+                    params = {}
+                if "skip_batches" in params:
+                    # skip-capable sources are cheap here: header-only audio
+                    # lengths + uncollated marker batches (data/dataset.py
+                    # GlobalBatcher.skip_batches)
+                    src = train_batches_fn(epoch, skip_batches=need_skip)
+            if src is None:
+                src = train_batches_fn(epoch)
+            if need_skip:
                 src = iter(src)
                 while global_step < resume_step:
                     try:
-                        next(src)
+                        next(src)  # marker if skip-capable, else discarded
                     except StopIteration:
                         src = None
                         break
                     global_step += 1
+                if src is not None:
+                    # peek: an epoch whose batches were ALL consumed before
+                    # the checkpoint must not run (and log stats for) a
+                    # zero-batch epoch
+                    try:
+                        first = next(src)
+                    except StopIteration:
+                        src = None
+                    else:
+                        src = itertools.chain([first], src)
                 if src is None:
                     continue  # epoch fully consumed before the checkpoint
 

@@ -73,3 +73,41 @@ def test_resample_path(tmp_path):
     aio.write_wav(str(p), 8000, _tone(8000, 440, 8000))
     y = aio.load_audio(str(p), target_rate=16000)
     assert abs(len(y) - 16000) <= 1
+
+
+def test_audio_num_samples_matches_load_audio(tmp_path):
+    """Header-only lengths must equal len(load_audio(...)) exactly — the
+    resume fast-forward (data/dataset.py lazy_audio) relies on identical
+    filtering/bucketing decisions."""
+    from ps_slm_tpu.data.flac import write_flac
+
+    cases = []
+    p = tmp_path / "a.wav"
+    aio.write_wav(str(p), 16000, _tone(5000))
+    cases.append(str(p))
+    p8 = tmp_path / "a8k.wav"  # resample rounding path
+    aio.write_wav(str(p8), 8000, _tone(3001, 440, 8000))
+    cases.append(str(p8))
+    ark = tmp_path / "w.ark"  # path:offset manifest convention
+    offsets = aio.write_kaldi_wav_ark(str(ark), {
+        "u1": (16000, _tone(3000)),
+        "u2": (16000, _tone(4321)),
+    })
+    cases += [f"{ark}:{offsets['u1']}", f"{ark}:{offsets['u2']}"]
+    fp = tmp_path / "a.flac"
+    write_flac(str(fp), 16000, _tone(5000))
+    cases.append(str(fp))
+    f8 = tmp_path / "a8k.flac"
+    write_flac(str(f8), 8000, _tone(3001, 440, 8000))
+    cases.append(str(f8))
+    for path in cases:
+        assert aio.audio_num_samples(path) == len(aio.load_audio(path)), path
+
+
+def test_flac_stream_info(tmp_path):
+    from ps_slm_tpu.data.flac import stream_info, write_flac
+
+    fp = tmp_path / "s.flac"
+    write_flac(str(fp), 16000, _tone(5000))
+    rate, channels, bps, total = stream_info(str(fp))
+    assert (rate, channels, bps, total) == (16000, 1, 16, 5000)

@@ -7,7 +7,8 @@ and saved in the same vocab.json/merges.txt format Qwen2.5 ships; both
 implementations then load those files and must agree on every token over
 >=100k tokens (the library uses the GPT-2 pre-tokenization pattern, so the
 own impl is configured with GPT2_PATTERN for the comparison; loading a real
-Qwen checkpoint defaults to the cl100k-style QWEN_PATTERN)."""
+Qwen checkpoint defaults to QWEN_PATTERN — byte-for-byte the wheel's Qwen2
+regex, pinned below)."""
 
 import json
 import os
@@ -141,14 +142,56 @@ def test_special_tokens_and_wrapper(trained):
 
 
 def test_qwen_pattern_pretokenization():
-    """The default (Qwen/cl100k-style) pattern differs from GPT-2 where it
-    matters: digit runs chunk to <=3 and contractions are case-insensitive."""
+    """The default pattern is byte-for-byte the wheel's Qwen2 regex, and
+    differs from GPT-2 where it matters: digits split one-per-token and
+    contractions are case-insensitive."""
     import regex
 
     from ps_slm_tpu.data.bbpe import QWEN_PATTERN
 
+    from transformers.models.qwen2.tokenization_qwen2 import (
+        PRETOKENIZE_REGEX,
+    )
+    assert QWEN_PATTERN == PRETOKENIZE_REGEX
+
     pat = regex.compile(QWEN_PATTERN)
     digits = [m.group(0) for m in pat.finditer("1234567")]
-    assert digits == ["123", "456", "7"]
+    assert digits == list("1234567")
     upper = [m.group(0) for m in pat.finditer("DON'T")]
     assert upper == ["DON", "'T"]
+
+
+def test_added_tokens_decoder_explicit_ids(trained):
+    """Special-token ids come from the added_tokens_decoder id KEYS, not
+    enumeration order — non-contiguous / descending layouts must survive."""
+    path, _, _ = trained
+    with open(os.path.join(path, "tokenizer_config.json"), "w") as f:
+        json.dump({
+            "eos_token": "<|im_end|>",
+            "tokenizer_class": "Qwen2Tokenizer",
+            "added_tokens_decoder": {
+                # deliberately out of order and with a gap
+                "900017": {"content": "<|im_end|>"},
+                "900003": {"content": "<|endoftext|>"},
+                "900010": {"content": "<|im_start|>"},
+            },
+        }, f)
+    own = ByteLevelBPE.from_pretrained(path)
+    assert own.special_tokens["<|im_end|>"] == 900017
+    assert own.special_tokens["<|endoftext|>"] == 900003
+    assert own.special_tokens["<|im_start|>"] == 900010
+    ids = own.encode("hi<|im_end|>")
+    assert ids[-1] == 900017
+    assert own.decode([900010], skip_special_tokens=False) == "<|im_start|>"
+
+
+def test_pattern_autoselect_by_tokenizer_class(trained):
+    path, _, _ = trained
+    from ps_slm_tpu.data.bbpe import GPT2_PATTERN as G, QWEN_PATTERN as Q
+
+    for klass, want in (("GPT2Tokenizer", G), ("Qwen2Tokenizer", Q)):
+        with open(os.path.join(path, "tokenizer_config.json"), "w") as f:
+            json.dump({"tokenizer_class": klass}, f)
+        own = ByteLevelBPE.from_pretrained(path)
+        import regex
+        assert own.pat.pattern == regex.compile(want).pattern

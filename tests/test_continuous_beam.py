@@ -57,8 +57,10 @@ def _expected(cfg, llm, reqs, length_penalty=1.0, num_beams=4):
     return out
 
 
-@pytest.mark.parametrize("length_penalty", [1.0, 0.6])
+@pytest.mark.parametrize("length_penalty", [1.0, 0.6, -0.5])
 def test_beam_pool_matches_static_beam(length_penalty):
+    # -0.5 pins the early-exit bound for negative penalties (divisor
+    # maximized at the SHORTEST achievable length, not max_new)
     cfg, llm = _model()
     reqs = _requests(cfg, llm)
     expected = _expected(cfg, llm, reqs, length_penalty)

@@ -157,3 +157,45 @@ def test_waveform_forward_end_to_end(tmp_path):
     }
     loss, metrics = forward(model, model.params, jbatch, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_skip_batches_markers_then_bit_equal(tmp_path):
+    """skip_batches=k yields k uncollated markers, then batches that are
+    array-for-array identical to the unskipped stream (resume fast-forward
+    correctness: training/loop.py discards exactly the markers)."""
+    cfg = _fixtures(tmp_path, n=16)
+    tok = StubTokenizer()
+    full = list(get_speech_dataset(cfg, tok, "train"))
+    k = 2
+    assert len(full) > k
+    skipped = list(get_speech_dataset(cfg, tok, "train", skip_batches=k))
+    assert len(skipped) == len(full)
+    for b in skipped[:k]:
+        assert b == {"batch_skipped": True}
+    for b0, b1 in zip(full[k:], skipped[k:]):
+        assert set(b0) == set(b1)
+        for key in b0:
+            np.testing.assert_array_equal(
+                np.asarray(b0[key]), np.asarray(b1[key]), err_msg=key
+            )
+
+
+def test_skip_batches_defers_audio_decode(tmp_path, monkeypatch):
+    """With skip_batches>0 the dataset goes lazy: skipped buckets read
+    headers only and never decode samples."""
+    cfg = _fixtures(tmp_path, n=16)
+    tok = StubTokenizer()
+    real = audio_io.load_audio
+    calls = []
+
+    def counting(path, target_rate=16000):
+        calls.append(path)
+        return real(path, target_rate)
+
+    monkeypatch.setattr(audio_io, "load_audio", counting)
+    list(get_speech_dataset(cfg, tok, "train"))
+    n_full = len(calls)
+    assert n_full == 16
+    calls.clear()
+    list(get_speech_dataset(cfg, tok, "train", skip_batches=2))
+    assert 0 < len(calls) < n_full
