@@ -86,6 +86,14 @@ def main():
     eos = 0
     audio_sec = batch * frames * 0.060
 
+    if os.environ.get("PS_BENCH_POOL_ONLY") == "1":
+        # pool batch-scaling runs (roadmap #5): beam pool at large slot
+        # counts (PS_BENCH_DECODE_BATCH) without the static sweep /
+        # ragged / speculative sections; includes its own static-beam
+        # comparison at the same batch
+        _beam_pool_bench(model, jbatch, batch, frames, max_new, eos)
+        return
+
     if os.environ.get("PS_BENCH_RAGGED_ONLY") == "1":
         # pool batch-scaling runs: skip the static sweep + later sections
         _ragged_comparison(
@@ -233,11 +241,13 @@ def _beam_pool_bench(model, jbatch, batch, frames, max_new, eos):
         _ = np.asarray(out)
     static_dt = time.perf_counter() - t0
 
+    sync_every = int(os.environ.get("PS_BENCH_SYNC_EVERY", "8"))
+
     def run_pool():
         dec = ContinuousBeamDecoder(
             model, model.params, num_slots=batch, prefill_len=prefill_len,
             max_new_tokens=max_new, eos_token_id=eos, num_beams=4,
-            sync_every=8,
+            sync_every=sync_every,
         )
         reqs = ((f"r{i}", request(i)) for i in range(n_req))
         return sum(1 for _ in dec.run(reqs))
@@ -257,6 +267,7 @@ def _beam_pool_bench(model, jbatch, batch, frames, max_new, eos):
         "pool_tokens_per_sec": round(tokens / pool_dt, 1),
         "speedup": round(static_dt / pool_dt, 3),
         "slots": batch,
+        "sync_every": sync_every,
     }))
 
 

@@ -228,15 +228,16 @@ def _pool_steps(
                 new_cache[key], dec, prefill_len, axis=2
             )
 
-        # freeze everything for inactive slots
+        # freeze the decode state of inactive slots — but NOT the cache:
+        # a finished slot's cache block is never read again (harvest reads
+        # only the banked fin_* token arrays; refill overwrites the block
+        # wholesale in _insert_slots), so letting frozen rows accumulate
+        # garbage K/V is harmless — exactly like the greedy pool.  A
+        # full-cache select here would force XLA to keep the pre-forward
+        # cache alive, turning every step's cache update into a full copy
+        # (measured 2.5x step time at 32 slots — docs/PERF.md).
         act = active
-        actb = jnp.repeat(act, bm)
-        cache = {
-            key: jnp.where(
-                actb[None, :, None, None, None], reordered[key], cache[key]
-            )
-            for key in ("k", "v")
-        }
+        cache = reordered
         tokens = jnp.where(act[:, None], new_tok, tokens)
         seqs = jnp.where(act[:, None, None], new_seqs, seqs)
         scores = jnp.where(act[:, None], keep, scores)

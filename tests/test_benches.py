@@ -18,11 +18,12 @@ pytestmark = pytest.mark.slow  # compile-heavy (VERDICT r1 item 9)
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(script: str) -> list:
+def _run(script: str, extra_env: dict = None) -> list:
     env = {
         k: v for k, v in os.environ.items()
         if k not in ("XLA_FLAGS",)
     }
+    env.update(extra_env or {})
     env["JAX_PLATFORMS"] = "cpu"
     # the axon plugin ignores the env var; jax.config.update before first
     # backend touch is the only reliable way to force the CPU smoke config
@@ -65,6 +66,17 @@ def test_decode_bench_smoke():
         for k, v in r.items():
             if k.endswith("tokens_per_sec"):
                 assert v > 0, r
+
+
+def test_decode_bench_pool_only_gate():
+    """PS_BENCH_POOL_ONLY runs exactly the beam-pool section (the knob the
+    batch-scaling runs use on hardware)."""
+    res = _run(
+        os.path.join("benchmarks", "decode_bench.py"),
+        extra_env={"PS_BENCH_POOL_ONLY": "1"},
+    )
+    assert [r["metric"] for r in res] == ["decode_beam_pool"]
+    assert res[0]["pool_tokens_per_sec"] > 0
 
 
 def test_anatomy_bench_smoke():
