@@ -218,6 +218,10 @@ class ContinuousGreedyDecoder:
         self._keys: list = [None] * num_slots
         self._toks: list = [[] for _ in range(num_slots)]
         self._epoch: list = [0] * num_slots
+        # upper bound on tokens a slot has provably produced (prefill emits
+        # 1, each launched chunk emits <= sync_every); lets the run loop
+        # skip a chunk that could only churn finished slots
+        self._t_host: list = [0] * num_slots
 
     def _refill_many(self, slot_req) -> None:
         """Grouped refill: batched front half over same-shape requests +
@@ -252,6 +256,7 @@ class ContinuousGreedyDecoder:
                 self._keys[slot] = key
                 self._toks[slot] = []
                 self._epoch[slot] += 1
+                self._t_host[slot] = 1  # the prefill token (tok0)
             i += k
 
     def _merged_rows(self, batches):
@@ -322,14 +327,23 @@ class ContinuousGreedyDecoder:
                 continue
 
             # dispatch chunk k+1 before harvesting chunk k: the host sync
-            # below overlaps this chunk's device time
+            # below overlaps this chunk's device time.  Skip the dispatch
+            # when every busy slot has provably hit its token cap (EOS may
+            # finish slots sooner, but a cap-hit slot is inactive either
+            # way) and the in-flight harvest will free them — the chunk
+            # would only churn frozen slots.
+            all_done = all(
+                self._t_host[i] >= cap(self._keys[i]) for i in busy
+            )
             nxt = None
-            if busy:
+            if busy and not (all_done and inflight is not None):
                 self.pool, toks, tok0, fresh = _pool_steps(
                     self.params["llm"], self.cfg, self.pool,
                     eos_token_id=self.eos, steps=self.sync_every,
                     max_new_tokens=self.max_new,
                 )
+                for i in busy:
+                    self._t_host[i] += self.sync_every
                 snapshot = [(i, self._keys[i], self._epoch[i]) for i in busy]
                 nxt = (toks, tok0, fresh, snapshot)
 

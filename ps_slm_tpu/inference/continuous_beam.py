@@ -334,6 +334,11 @@ class ContinuousBeamDecoder:
         )
         self._keys: list = [None] * num_slots
         self._epoch: list = [0] * num_slots
+        # host-side upper bound on each slot's device ``t`` (insert sets
+        # t=1; every launched chunk advances active slots by sync_every).
+        # When every busy slot provably reached max_new, the next chunk
+        # would compute only frozen garbage — the run loop skips it.
+        self._t_host: list = [0] * num_slots
 
     def _refill_many(self, slot_req) -> None:
         """Grouped refill: run the merge front half (encoder -> posterior
@@ -372,6 +377,7 @@ class ContinuousBeamDecoder:
             for slot, key, _ in chunk:
                 self._keys[slot] = key
                 self._epoch[slot] += 1
+                self._t_host[slot] = 1  # _insert_slots sets device t=1
             i += k
 
     def _merged_rows(self, batches):
@@ -427,13 +433,23 @@ class ContinuousBeamDecoder:
                 continue
 
             nxt = None
-            if busy:
+            # provably-done skip: device t advances <= sync_every per chunk,
+            # so t_host >= max_new means the slot is inactive (t capped or
+            # early-exited sooner); when that holds for every busy slot AND
+            # a harvest is already in flight to free them, the next chunk
+            # would only churn frozen slots — skip launching it
+            all_done = all(
+                self._t_host[i] >= self.max_new for i in busy
+            )
+            if busy and not (all_done and inflight is not None):
                 self.pool, active = _pool_steps(
                     self.params["llm"], self.cfg, self.pool,
                     eos_token_id=self.eos, steps=self.sync_every,
                     max_new_tokens=self.max_new, num_beams=self.bm,
                     prefill_len=self.prefill_len, length_penalty=self.lp,
                 )
+                for i in busy:
+                    self._t_host[i] += self.sync_every
                 snapshot = [(i, self._keys[i], self._epoch[i]) for i in busy]
                 nxt = (active, snapshot)
 

@@ -243,6 +243,11 @@ class ContinuousSpeculativeDecoder:
         self._keys: list = [None] * num_slots
         self._toks: list = [[] for _ in range(num_slots)]
         self._epoch: list = [0] * num_slots
+        # lower bound on tokens a slot has provably produced (prefill emits
+        # 1, each verify forward emits >= 1, so a chunk emits >= sync_every)
+        # — lets the run loop skip a chunk that could only churn slots that
+        # already hit their cap
+        self._t_host: list = [0] * num_slots
 
     def _refill(self, slot: int, batch: Dict, draft, draft_len) -> None:
         from ps_slm_tpu.inference.generate import _merged_fn
@@ -259,6 +264,7 @@ class ContinuousSpeculativeDecoder:
         )
         self._toks[slot] = []
         self._epoch[slot] += 1
+        self._t_host[slot] = 1  # the prefill token (tok0)
 
     def run(
         self, batches: Iterator[Tuple[str, Tuple[Dict, list]]],
@@ -305,14 +311,23 @@ class ContinuousSpeculativeDecoder:
                     return
                 continue
 
+            # provably-done skip (see ContinuousGreedyDecoder.run): every
+            # busy slot at >= cap tokens is inactive on device; if the
+            # in-flight harvest will free them, launching another chunk
+            # would only churn frozen slots
+            all_done = all(
+                self._t_host[i] >= cap(self._keys[i]) for i in busy
+            )
             nxt = None
-            if busy:
+            if busy and not (all_done and inflight is not None):
                 self.pool, toks, accs, tok0, fresh = _pool_spec_steps(
                     self.params["llm"], self.cfg, self.pool,
                     eos_token_id=self.eos, steps=self.sync_every,
                     max_new_tokens=self.max_new, window=self.window,
                     prefill_len=self.prefill_len,
                 )
+                for i in busy:
+                    self._t_host[i] += self.sync_every
                 snapshot = [(i, self._keys[i], self._epoch[i]) for i in busy]
                 nxt = (toks, accs, tok0, fresh, snapshot)
 
