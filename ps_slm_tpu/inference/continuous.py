@@ -55,28 +55,36 @@ def _left_pad_merged(merged, prefill_len: int):
     return embeds, mask, pos
 
 
-# pool state tuple:
-#   (cache, full_mask, positions, write_idx, last_tok, active, gen,
-#    tok0_buf, tok0_fresh)
+# pool = (cache, state); the KV cache is split out so the jitted
+# insert/step calls can DONATE it (in-place update, no full-cache copy per
+# call) while the small state leaves stay un-donated — some of them
+# (tok0_buf/tok0_fresh/active) are also returned as separate outputs that
+# the pipelined harvest holds across the next donating call, and donating
+# a buffer a live reference still points at would invalidate it.
+# state = (full_mask, positions, write_idx, last_tok, active, gen,
+#          tok0_buf, tok0_fresh)
 def _init_pool(cfg, num_slots: int, capacity: int, eos: int, dtype):
     return (
         qwen2.init_cache(cfg, num_slots, capacity, dtype=dtype),
-        jnp.zeros((num_slots, capacity), bool),
-        jnp.zeros((num_slots,), jnp.int32),
-        jnp.zeros((num_slots,), jnp.int32),
-        jnp.full((num_slots,), eos, jnp.int32),
-        jnp.zeros((num_slots,), bool),
-        jnp.zeros((num_slots,), jnp.int32),
-        jnp.full((num_slots,), eos, jnp.int32),
-        jnp.zeros((num_slots,), bool),
+        (
+            jnp.zeros((num_slots, capacity), bool),
+            jnp.zeros((num_slots,), jnp.int32),
+            jnp.zeros((num_slots,), jnp.int32),
+            jnp.full((num_slots,), eos, jnp.int32),
+            jnp.zeros((num_slots,), bool),
+            jnp.zeros((num_slots,), jnp.int32),
+            jnp.full((num_slots,), eos, jnp.int32),
+            jnp.zeros((num_slots,), bool),
+        ),
     )
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "eos_token_id", "capacity", "k"),
+    donate_argnums=(2,),  # cache only — see the pool-layout comment above
 )
 def _insert_slots(
-    params, cfg, pool, slots, embeds, attn_mask, position_ids,
+    params, cfg, cache, state, slots, embeds, attn_mask, position_ids,
     *, eos_token_id: int, capacity: int, k: int = 1,
 ):
     """Prefill ``k`` requests in ONE forward (B=k) and install each in its
@@ -98,8 +106,8 @@ def _insert_slots(
         qwen2.unembed(params, hidden[:, -1:])[:, 0], axis=-1
     ).astype(jnp.int32)                                     # [k]
 
-    (cache, full_mask, positions, write_idx, last_tok, active, gen,
-     tok0_buf, tok0_fresh) = pool
+    (full_mask, positions, write_idx, last_tok, active, gen,
+     tok0_buf, tok0_fresh) = state
     for i in range(k):
         slot = slots[i]
         cache = {
@@ -118,17 +126,17 @@ def _insert_slots(
         gen = gen.at[slot].set(1)
         tok0_buf = tok0_buf.at[slot].set(tok0[i])
         tok0_fresh = tok0_fresh.at[slot].set(True)
-    return (cache, full_mask, positions, write_idx, last_tok, active, gen,
-            tok0_buf, tok0_fresh)
+    return cache, (full_mask, positions, write_idx, last_tok, active, gen,
+                   tok0_buf, tok0_fresh)
 
 
 def _insert_slot(
-    params, cfg, pool, slot, embeds, attn_mask, position_ids,
+    params, cfg, cache, state, slot, embeds, attn_mask, position_ids,
     *, eos_token_id: int, capacity: int,
 ):
     """Single-request insert (kept for the speculative pool's call shape)."""
     return _insert_slots(
-        params, cfg, pool, jnp.asarray([slot], jnp.int32),
+        params, cfg, cache, state, jnp.asarray([slot], jnp.int32),
         embeds, attn_mask, position_ids,
         eos_token_id=eos_token_id, capacity=capacity, k=1,
     )
@@ -137,19 +145,22 @@ def _insert_slot(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "eos_token_id", "steps", "max_new_tokens"),
+    donate_argnums=(2,),  # cache only — see the pool-layout comment above
 )
 def _pool_steps(
-    params, cfg, pool, *, eos_token_id: int, steps: int, max_new_tokens: int,
+    params, cfg, cache, state, *,
+    eos_token_id: int, steps: int, max_new_tokens: int,
 ):
     """Run ``steps`` single-token steps over the whole pool.
 
     Inactive slots are carried masked (their emitted token is EOS and their
-    cache/mask/positions stay frozen).  Returns (pool, tokens [steps, S],
-    tok0 [S], tok0_fresh [S]) — the tok0 channel reports prefill tokens of
-    slots inserted since the last chunk and is cleared in the new pool.
+    cache/mask/positions stay frozen).  Returns ((cache, state),
+    tokens [steps, S], tok0 [S], tok0_fresh [S]) — the tok0 channel reports
+    prefill tokens of slots inserted since the last chunk and is cleared in
+    the new state.
     """
-    (cache, full_mask, positions, write_idx, last_tok, active, gen,
-     tok0_buf, tok0_fresh) = pool
+    (full_mask, positions, write_idx, last_tok, active, gen,
+     tok0_buf, tok0_fresh) = state
 
     def body(carry, _):
         cache, full_mask, positions, write_idx, last_tok, active, gen = carry
@@ -179,9 +190,7 @@ def _pool_steps(
 
     carry = (cache, full_mask, positions, write_idx, last_tok, active, gen)
     carry, toks = jax.lax.scan(body, carry, None, length=steps)
-    new_pool = carry + (
-        tok0_buf, jnp.zeros_like(tok0_fresh),
-    )
+    new_pool = (carry[0], carry[1:] + (tok0_buf, jnp.zeros_like(tok0_fresh)))
     return new_pool, toks, tok0_buf, tok0_fresh
 
 
@@ -245,7 +254,7 @@ class ContinuousGreedyDecoder:
             k = 1 << ((len(slot_req) - i).bit_length() - 1)
             chunk, ms = slot_req[i: i + k], padded[i: i + k]
             self.pool = _insert_slots(
-                self.params["llm"], self.cfg, self.pool,
+                self.params["llm"], self.cfg, *self.pool,
                 jnp.asarray([s for s, _, _ in chunk], jnp.int32),
                 jnp.concatenate([e for e, _, _ in ms], axis=0),
                 jnp.concatenate([m for _, m, _ in ms], axis=0),
@@ -338,7 +347,7 @@ class ContinuousGreedyDecoder:
             nxt = None
             if busy and not (all_done and inflight is not None):
                 self.pool, toks, tok0, fresh = _pool_steps(
-                    self.params["llm"], self.cfg, self.pool,
+                    self.params["llm"], self.cfg, *self.pool,
                     eos_token_id=self.eos, steps=self.sync_every,
                     max_new_tokens=self.max_new,
                 )

@@ -36,27 +36,35 @@ from ps_slm_tpu.inference.continuous import _left_pad_merged
 NEG_INF = -1e30
 
 
-# pool state tuple (cache layout per qwen2.init_cache:
-#  [L, S*bm, cap, kv_heads, hd] — capacity is axis 2):
-#   (cache, pmask[S*bm, cap], positions[S],
+# pool = (cache, state); the KV cache ([L, S*bm, cap, kv_heads, hd] per
+# qwen2.init_cache — capacity is axis 2) is split out so the jitted
+# insert/step calls can DONATE it (in-place update, no full-cache copy per
+# call) while the small state leaves stay un-donated — ``active`` is also
+# returned as a separate output that the pipelined harvest holds across
+# the next donating call, and donating a buffer a live reference still
+# points at would invalidate it.
+#   state = (pmask[S*bm, cap], positions[S],
 #    write_idx[S], tokens[S, bm], scores[S, bm], seqs[S, bm, max_new],
 #    t[S], active[S], fin_seqs[S, bm, max_new], fin_scores[S, bm],
 #    fin_valid[S, bm])
 def _init_pool(cfg, num_slots, bm, capacity, max_new, eos, dtype):
-    zs = jnp.zeros((num_slots,), jnp.int32)
+    def zs():
+        return jnp.zeros((num_slots,), jnp.int32)
     return (
         qwen2.init_cache(cfg, num_slots * bm, capacity, dtype=dtype),
-        jnp.zeros((num_slots * bm, capacity), bool),
-        zs,
-        zs,
-        jnp.full((num_slots, bm), eos, jnp.int32),
-        jnp.full((num_slots, bm), NEG_INF, jnp.float32),
-        jnp.full((num_slots, bm, max_new), eos, jnp.int32),
-        zs,
-        jnp.zeros((num_slots,), bool),
-        jnp.full((num_slots, bm, max_new), eos, jnp.int32),
-        jnp.full((num_slots, bm), NEG_INF, jnp.float32),
-        jnp.zeros((num_slots, bm), bool),
+        (
+            jnp.zeros((num_slots * bm, capacity), bool),
+            zs(),
+            zs(),
+            jnp.full((num_slots, bm), eos, jnp.int32),
+            jnp.full((num_slots, bm), NEG_INF, jnp.float32),
+            jnp.full((num_slots, bm, max_new), eos, jnp.int32),
+            zs(),
+            jnp.zeros((num_slots,), bool),
+            jnp.full((num_slots, bm, max_new), eos, jnp.int32),
+            jnp.full((num_slots, bm), NEG_INF, jnp.float32),
+            jnp.zeros((num_slots, bm), bool),
+        ),
     )
 
 
@@ -83,9 +91,10 @@ def _bank(fin_seqs, fin_scores, fin_valid, cand_seqs, cand_scores, newly):
     jax.jit,
     static_argnames=("cfg", "eos_token_id", "capacity", "num_beams",
                      "max_new_tokens", "length_penalty", "k"),
+    donate_argnums=(2,),  # cache only — see the pool-layout comment above
 )
 def _insert_slots(
-    params, cfg, pool, slots, embeds, attn_mask, position_ids,
+    params, cfg, cache, state, slots, embeds, attn_mask, position_ids,
     *, eos_token_id: int, capacity: int, num_beams: int,
     max_new_tokens: int, length_penalty: float, k: int,
 ):
@@ -107,8 +116,8 @@ def _insert_slots(
     top_val, top_tok = jax.lax.top_k(logp0, bm)              # [k, bm]
     top_tok = top_tok.astype(jnp.int32)
 
-    (cache, pmask, positions, write_idx, tokens, scores, seqs, t, active,
-     fin_seqs, fin_scores, fin_valid) = pool
+    (pmask, positions, write_idx, tokens, scores, seqs, t, active,
+     fin_seqs, fin_scores, fin_valid) = state
 
     empty_seqs = jnp.full((bm, max_new_tokens), eos_token_id, jnp.int32)
     for i in range(k):
@@ -146,24 +155,26 @@ def _insert_slots(
         )
         t = t.at[slot].set(1)
         active = active.at[slot].set(True)
-    return (cache, pmask, positions, write_idx, tokens, scores, seqs, t,
-            active, fin_seqs, fin_scores, fin_valid)
+    return cache, (pmask, positions, write_idx, tokens, scores, seqs, t,
+                   active, fin_seqs, fin_scores, fin_valid)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "eos_token_id", "steps", "max_new_tokens",
                      "num_beams", "prefill_len", "length_penalty"),
+    donate_argnums=(2,),  # cache only — see the pool-layout comment above
 )
 def _pool_steps(
-    params, cfg, pool, *,
+    params, cfg, cache0, state, *,
     eos_token_id: int, steps: int, max_new_tokens: int, num_beams: int,
     prefill_len: int, length_penalty: float,
 ):
-    """``steps`` beam steps over the whole pool.  Returns (pool, done[S])."""
+    """``steps`` beam steps over the whole pool.
+    Returns ((cache, state), done[S])."""
     bm = num_beams
-    (cache0, pmask, positions0, write_idx0, tokens0, scores0, seqs0, t0,
-     active0, fs0, fsc0, fv0) = pool
+    (pmask, positions0, write_idx0, tokens0, scores0, seqs0, t0,
+     active0, fs0, fsc0, fv0) = state
     n_slots = positions0.shape[0]
     slots = jnp.arange(n_slots)
     cells = jnp.arange(pmask.shape[1])[None, :]
@@ -271,22 +282,22 @@ def _pool_steps(
     carry, _ = jax.lax.scan(body, carry, None, length=steps)
     (cache, positions, write_idx, tokens, scores, seqs, t, active,
      fin_seqs, fin_scores, fin_valid) = carry
-    new_pool = (cache, pmask, positions, write_idx, tokens, scores, seqs,
-                t, active, fin_seqs, fin_scores, fin_valid)
+    new_pool = (cache, (pmask, positions, write_idx, tokens, scores, seqs,
+                        t, active, fin_seqs, fin_scores, fin_valid))
     return new_pool, active
 
 
 @functools.partial(
     jax.jit, static_argnames=("max_new_tokens", "length_penalty"),
 )
-def _finalize(pool, slots, *, max_new_tokens: int, length_penalty: float):
+def _finalize(state, slots, *, max_new_tokens: int, length_penalty: float):
     """Best hypotheses for finished slots (batched — one device round trip
     per harvest, not per slot): alive beams compete at full length against
     the bank, exactly like beam_generate's epilogue (generate.py:356-369).
 
     ``slots``: int array [m].  Returns [m, max_new_tokens]."""
-    (cache, pmask, positions, write_idx, tokens, scores, seqs, t, active,
-     fin_seqs, fin_scores, fin_valid) = pool
+    (pmask, positions, write_idx, tokens, scores, seqs, t, active,
+     fin_seqs, fin_scores, fin_valid) = state
     lp_full = float(max_new_tokens) ** length_penalty
     f_seqs, f_scores, f_valid = _bank(
         fin_seqs[slots], fin_scores[slots], fin_valid[slots],
@@ -365,7 +376,7 @@ class ContinuousBeamDecoder:
             k = 1 << ((len(slot_req) - i).bit_length() - 1)
             chunk, ms = slot_req[i: i + k], padded[i: i + k]
             self.pool = _insert_slots(
-                self.params["llm"], self.cfg, self.pool,
+                self.params["llm"], self.cfg, *self.pool,
                 jnp.asarray([s for s, _, _ in chunk], jnp.int32),
                 jnp.concatenate([e for e, _, _ in ms], axis=0),
                 jnp.concatenate([m for _, m, _ in ms], axis=0),
@@ -443,7 +454,7 @@ class ContinuousBeamDecoder:
             )
             if busy and not (all_done and inflight is not None):
                 self.pool, active = _pool_steps(
-                    self.params["llm"], self.cfg, self.pool,
+                    self.params["llm"], self.cfg, *self.pool,
                     eos_token_id=self.eos, steps=self.sync_every,
                     max_new_tokens=self.max_new, num_beams=self.bm,
                     prefill_len=self.prefill_len, length_penalty=self.lp,
@@ -469,7 +480,7 @@ class ContinuousBeamDecoder:
                     mp = 1 << (m - 1).bit_length() if m > 1 else 1
                     idx = done + [done[0]] * (mp - m)
                     seqs = np.asarray(jax.device_get(_finalize(
-                        self.pool, jnp.asarray(idx, jnp.int32),
+                        self.pool[1], jnp.asarray(idx, jnp.int32),
                         max_new_tokens=self.max_new,
                         length_penalty=self.lp,
                     )))[:m]

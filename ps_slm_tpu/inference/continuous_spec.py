@@ -23,28 +23,37 @@ from ps_slm_tpu.inference.continuous import _left_pad_merged
 
 
 def _init_pool(cfg, num_slots, capacity, d_max, eos, dtype):
-    z = jnp.zeros((num_slots,), jnp.int32)
+    # pool = (cache, state): the cache is donated into the jitted
+    # insert/step calls (in-place update, no full-cache copy per call);
+    # the small state leaves stay un-donated because tok0_buf/tok0_fresh
+    # are also returned as separate outputs the pipelined harvest holds
+    # across the next donating call
+    def z():
+        return jnp.zeros((num_slots,), jnp.int32)
     return (
         qwen2.init_cache(cfg, num_slots, capacity, dtype=dtype),
-        jnp.zeros((num_slots, capacity), bool),     # prefill mask rows
-        z,                                          # positions (next pos id)
-        z,                                          # write_idx
-        jnp.full((num_slots,), eos, jnp.int32),     # last_tok
-        jnp.zeros((num_slots,), bool),              # active
-        z,                                          # gen count
-        jnp.zeros((num_slots, max(d_max, 1)), jnp.int32),  # draft buffer
-        z,                                          # draft lens
-        z,                                          # cursor
-        jnp.full((num_slots,), eos, jnp.int32),     # tok0 buffer
-        jnp.zeros((num_slots,), bool),              # tok0 fresh
+        (
+            jnp.zeros((num_slots, capacity), bool),  # prefill mask rows
+            z(),                                     # positions (next pos)
+            z(),                                     # write_idx
+            jnp.full((num_slots,), eos, jnp.int32),  # last_tok
+            jnp.zeros((num_slots,), bool),           # active
+            z(),                                     # gen count
+            jnp.zeros((num_slots, max(d_max, 1)), jnp.int32),  # drafts
+            z(),                                     # draft lens
+            z(),                                     # cursor
+            jnp.full((num_slots,), eos, jnp.int32),  # tok0 buffer
+            jnp.zeros((num_slots,), bool),           # tok0 fresh
+        ),
     )
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "eos_token_id", "capacity"),
+    donate_argnums=(2,),  # cache only — see the pool-layout comment above
 )
 def _insert_slot(
-    params, cfg, pool, slot, embeds, attn_mask, position_ids,
+    params, cfg, cache, state, slot, embeds, attn_mask, position_ids,
     draft_row, draft_len,
     *, eos_token_id: int, capacity: int,
 ):
@@ -61,8 +70,8 @@ def _insert_slot(
         qwen2.unembed(params, hidden[:, -1:])[:, 0], axis=-1
     ).astype(jnp.int32)[0]
 
-    (cache, pmask, positions, write_idx, last_tok, active, gen,
-     draft, dlens, cursor, tok0_buf, tok0_fresh) = pool
+    (pmask, positions, write_idx, last_tok, active, gen,
+     draft, dlens, cursor, tok0_buf, tok0_fresh) = state
     cache = {
         "k": jax.lax.dynamic_update_slice(
             cache["k"], cache1["k"], (0, slot, 0, 0, 0)
@@ -85,8 +94,8 @@ def _insert_slot(
     )
     tok0_buf = tok0_buf.at[slot].set(tok0)
     tok0_fresh = tok0_fresh.at[slot].set(True)
-    return (cache, pmask, positions, write_idx, last_tok, active, gen,
-            draft, dlens, cursor, tok0_buf, tok0_fresh)
+    return cache, (pmask, positions, write_idx, last_tok, active, gen,
+                   draft, dlens, cursor, tok0_buf, tok0_fresh)
 
 
 @functools.partial(
@@ -95,18 +104,20 @@ def _insert_slot(
         "cfg", "eos_token_id", "steps", "max_new_tokens", "window",
         "prefill_len",
     ),
+    donate_argnums=(2,),  # cache only — see the pool-layout comment above
 )
 def _pool_spec_steps(
-    params, cfg, pool, *,
+    params, cfg, cache0, state, *,
     eos_token_id: int, steps: int, max_new_tokens: int, window: int,
     prefill_len: int,
 ):
     """``steps`` draft-window iterations over the whole pool.
 
-    Returns (pool, toks [steps, S, window], accs [steps, S], tok0, fresh).
+    Returns ((cache, state), toks [steps, S, window], accs [steps, S],
+    tok0, fresh).
     """
-    (cache0, pmask, positions0, write_idx0, last_tok0, active0, gen0,
-     draft, dlens, cursor0, tok0_buf, tok0_fresh) = pool
+    (pmask, positions0, write_idx0, last_tok0, active0, gen0,
+     draft, dlens, cursor0, tok0_buf, tok0_fresh) = state
     k = window
     n, capacity = pmask.shape
     d_max = draft.shape[1]
@@ -200,8 +211,8 @@ def _pool_spec_steps(
     carry, (toks, accs) = jax.lax.scan(body, carry, None, length=steps)
     cache, positions, write_idx, last_tok, active, gen, cursor = carry
     new_pool = (
-        cache, pmask, positions, write_idx, last_tok, active, gen,
-        draft, dlens, cursor, tok0_buf, jnp.zeros_like(tok0_fresh),
+        cache, (pmask, positions, write_idx, last_tok, active, gen,
+                draft, dlens, cursor, tok0_buf, jnp.zeros_like(tok0_fresh)),
     )
     return new_pool, toks, accs, tok0_buf, tok0_fresh
 
@@ -258,7 +269,7 @@ class ContinuousSpeculativeDecoder:
         n = min(len(draft), self.d_max)
         row[:n] = np.asarray(draft[:n], np.int32)
         self.pool = _insert_slot(
-            self.params["llm"], self.cfg, self.pool, slot,
+            self.params["llm"], self.cfg, *self.pool, slot,
             embeds, mask, pos, jnp.asarray(row), jnp.int32(n),
             eos_token_id=self.eos, capacity=self.capacity,
         )
@@ -321,7 +332,7 @@ class ContinuousSpeculativeDecoder:
             nxt = None
             if busy and not (all_done and inflight is not None):
                 self.pool, toks, accs, tok0, fresh = _pool_spec_steps(
-                    self.params["llm"], self.cfg, self.pool,
+                    self.params["llm"], self.cfg, *self.pool,
                     eos_token_id=self.eos, steps=self.sync_every,
                     max_new_tokens=self.max_new, window=self.window,
                     prefill_len=self.prefill_len,
