@@ -94,6 +94,12 @@ def main():
         _beam_pool_bench(model, jbatch, batch, frames, max_new, eos)
         return
 
+    if os.environ.get("PS_BENCH_SPEC_POOL") == "1":
+        # reproducible source of docs/PERF.md's "Speculative slot pool"
+        # table (static vs greedy pool vs spec pool, ragged, oracle drafts)
+        _spec_pool_bench(model, jbatch, batch, frames, max_new, eos, on_tpu)
+        return
+
     if os.environ.get("PS_BENCH_RAGGED_ONLY") == "1":
         # pool batch-scaling runs: skip the static sweep + later sections
         _ragged_comparison(
@@ -208,6 +214,101 @@ def _ragged_comparison(model, jbatch, batch, frames, max_new, eos, on_tpu):
     }))
 
 
+
+
+def _spec_pool_bench(model, jbatch, batch, frames, max_new, eos, on_tpu):
+    """Static vs greedy pool vs SPECULATIVE pool on one ragged workload.
+
+    Oracle drafts (= the greedy continuation) give the acceptance ceiling;
+    the spec pool's output equals the greedy pool's by construction
+    (tests/test_continuous_spec.py).  Same workload recipe as
+    _ragged_comparison so the three rows are comparable."""
+    from ps_slm_tpu.inference.continuous import ContinuousGreedyDecoder
+    from ps_slm_tpu.inference.continuous_spec import (
+        ContinuousSpeculativeDecoder,
+    )
+    from ps_slm_tpu.inference.generate import generate
+
+    rng = np.random.default_rng(7)
+    n_req = 4 * batch
+    ragged_max = max_new * (4 if on_tpu else 2)
+    lengths = rng.integers(max_new // 4, ragged_max + 1, size=n_req)
+    s = int(jbatch["input_ids"].shape[1])
+    prefill_len = s + frames
+    caps = {f"r{i}": int(lengths[i]) for i in range(n_req)}
+
+    def request(i):
+        return {k: v[i % batch: i % batch + 1] for k, v in jbatch.items()}
+
+    # oracle drafts: the full greedy continuation per distinct row
+    rows = np.asarray(generate(
+        model, model.params, jbatch, eos_token_id=eos,
+        num_beams=1, max_new_tokens=ragged_max,
+    ))
+
+    # --- static (same scheme as _ragged_comparison) ---
+    group_maxes = [
+        -(-int(np.max(lengths[b0: b0 + batch])) // 16) * 16
+        for b0 in range(0, n_req, batch)
+    ]
+    for gm in sorted(set(group_maxes)):
+        _ = np.asarray(generate(
+            model, model.params, jbatch, eos_token_id=eos,
+            num_beams=1, max_new_tokens=gm,
+        ))
+    t0 = time.perf_counter()
+    for gm in group_maxes:
+        _ = np.asarray(generate(
+            model, model.params, jbatch, eos_token_id=eos,
+            num_beams=1, max_new_tokens=gm,
+        ))
+    static_dt = time.perf_counter() - t0
+
+    # --- greedy pool ---
+    def run_greedy():
+        dec = ContinuousGreedyDecoder(
+            model, model.params, num_slots=batch, prefill_len=prefill_len,
+            max_new_tokens=ragged_max, eos_token_id=eos, sync_every=8,
+        )
+        reqs = ((f"r{i}", request(i)) for i in range(n_req))
+        return sum(1 for _ in dec.run(reqs, stop_after=caps))
+
+    run_greedy()
+    t0 = time.perf_counter()
+    assert run_greedy() == n_req
+    greedy_dt = time.perf_counter() - t0
+
+    # --- speculative pool, oracle drafts ---
+    def run_spec():
+        dec = ContinuousSpeculativeDecoder(
+            model, model.params, num_slots=batch, prefill_len=prefill_len,
+            max_new_tokens=ragged_max, eos_token_id=eos,
+            window=8, draft_max=ragged_max, sync_every=2,
+        )
+        reqs = (
+            (f"r{i}", (request(i), list(rows[i % batch][: lengths[i]]),
+                       int(lengths[i])))
+            for i in range(n_req)
+        )
+        return sum(1 for _ in dec.run(reqs, stop_after=caps))
+
+    run_spec()
+    t0 = time.perf_counter()
+    assert run_spec() == n_req
+    spec_dt = time.perf_counter() - t0
+
+    tokens = int(lengths.sum())
+    print(json.dumps({
+        "metric": "decode_spec_pool_ragged",
+        "n_requests": n_req, "tokens": tokens,
+        "static_tokens_per_sec": round(tokens / static_dt, 1),
+        "greedy_pool_tokens_per_sec": round(tokens / greedy_dt, 1),
+        "spec_pool_tokens_per_sec": round(tokens / spec_dt, 1),
+        "spec_vs_static": round(static_dt / spec_dt, 3),
+        "spec_vs_greedy_pool": round(greedy_dt / spec_dt, 3),
+        "slots": batch, "window": 8,
+        "length_range": [int(lengths.min()), int(lengths.max())],
+    }))
 
 
 def _beam_pool_bench(model, jbatch, batch, frames, max_new, eos):

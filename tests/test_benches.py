@@ -79,6 +79,16 @@ def test_decode_bench_pool_only_gate():
     assert res[0]["pool_tokens_per_sec"] > 0
 
 
+def test_decode_bench_spec_pool_gate():
+    """PS_BENCH_SPEC_POOL runs the static/greedy-pool/spec-pool triple."""
+    res = _run(
+        os.path.join("benchmarks", "decode_bench.py"),
+        extra_env={"PS_BENCH_SPEC_POOL": "1"},
+    )
+    assert [r["metric"] for r in res] == ["decode_spec_pool_ragged"]
+    assert res[0]["spec_pool_tokens_per_sec"] > 0
+
+
 def test_anatomy_bench_smoke():
     (res,) = _run(os.path.join("benchmarks", "anatomy.py"))
     assert res["metric"] == "step_anatomy"
