@@ -99,3 +99,39 @@ def test_beam_pool_many_requests_few_slots():
     assert set(got) == set(expected)
     for k in expected:
         np.testing.assert_array_equal(got[k], expected[k], err_msg=k)
+
+
+def test_provably_done_chunk_skip(monkeypatch):
+    """When every busy slot's host-side t bound hits max_new and a harvest
+    is in flight, the run loop must NOT launch the terminal all-frozen
+    chunk (launch count = ceil((max_new-1)/sync_every), not +1)."""
+    import ps_slm_tpu.inference.continuous_beam as cb
+
+    cfg, llm = _model(vocab=33)  # EOS=vocab+  never emitted -> no early exit
+    eos = cfg.vocab_size  # out-of-vocab: beams never bank, t runs to max_new
+    reqs = _requests(cfg, llm, n=2)
+    model = SimpleNamespace(llm_cfg=cfg)
+    merged_by_key = dict(reqs)
+    model._merged_jit = lambda params, batch: merged_by_key[batch["key"]]
+
+    calls = []
+    orig = cb._pool_steps
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(cb, "_pool_steps", counting)
+    max_new, sync = 9, 4
+    dec = ContinuousBeamDecoder(
+        model, {"llm": llm}, num_slots=2, prefill_len=PREFILL,
+        max_new_tokens=max_new, eos_token_id=eos, num_beams=4,
+        sync_every=sync,
+    )
+    got = dict(dec.run((k, {"key": k}) for k, _ in reqs))
+    assert set(got) == {k for k, _ in reqs}
+    for toks in got.values():
+        assert len(toks) == max_new  # no EOS ever emitted
+    # insert sets t=1; two 4-step chunks reach t=9=max_new; the third
+    # (all-frozen) chunk is provably useless and must be skipped
+    assert len(calls) == 2, calls
