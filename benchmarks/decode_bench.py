@@ -155,7 +155,9 @@ def _ragged_comparison(model, jbatch, batch, frames, max_new, eos, on_tpu):
     from ps_slm_tpu.inference.generate import generate
 
     rng = np.random.default_rng(7)
-    n_req = 4 * batch
+    # PS_BENCH_NREQ pins the workload (request count + length draws) so
+    # slot-count sweeps compare on identical work
+    n_req = int(os.environ.get("PS_BENCH_NREQ", 4 * batch))
     ragged_max = max_new * (4 if on_tpu else 2)
     lengths = rng.integers(max_new // 4, ragged_max + 1, size=n_req)
     s = int(jbatch["input_ids"].shape[1])
@@ -230,7 +232,7 @@ def _spec_pool_bench(model, jbatch, batch, frames, max_new, eos, on_tpu):
     from ps_slm_tpu.inference.generate import generate
 
     rng = np.random.default_rng(7)
-    n_req = 4 * batch
+    n_req = int(os.environ.get("PS_BENCH_NREQ", 4 * batch))
     ragged_max = max_new * (4 if on_tpu else 2)
     lengths = rng.integers(max_new // 4, ragged_max + 1, size=n_req)
     s = int(jbatch["input_ids"].shape[1])
