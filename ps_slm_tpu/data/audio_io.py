@@ -30,9 +30,10 @@ def _native():
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    cand = os.path.join(here, "native", "build", "libps_native.so")
-    if not os.path.exists(cand):
+    from ps_slm_tpu.data._native_lib import find_native_lib
+
+    cand = find_native_lib()
+    if cand is None:
         return None
     try:
         lib = ctypes.CDLL(cand)

@@ -252,13 +252,11 @@ def load_bpe(model_path: str, prefer_native: bool = True):
     if prefer_native:
         try:
             import ctypes
-            import os
 
-            root = os.path.dirname(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            )
-            so = os.path.join(root, "native", "build", "libps_native.so")
-            if os.path.exists(so):
+            from ps_slm_tpu.data._native_lib import find_native_lib
+
+            so = find_native_lib()
+            if so is not None:
                 lib = ctypes.CDLL(so)
                 lib.ps_spm_load.restype = ctypes.c_void_p
                 lib.ps_spm_load.argtypes = [ctypes.c_char_p]

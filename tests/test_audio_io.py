@@ -111,3 +111,23 @@ def test_flac_stream_info(tmp_path):
     write_flac(str(fp), 16000, _tone(5000))
     rate, channels, bps, total = stream_info(str(fp))
     assert (rate, channels, bps, total) == (16000, 1, 16, 5000)
+
+
+def test_native_lib_discovery_env_override(tmp_path, monkeypatch):
+    """PS_NATIVE_LIB lets a pip-installed package (no repo-relative
+    native/build tree) point at the built helper library."""
+    from ps_slm_tpu.data._native_lib import find_native_lib
+
+    monkeypatch.setenv("PS_NATIVE_LIB", str(tmp_path / "missing.so"))
+    assert find_native_lib() is None
+
+    fake = tmp_path / "libps_native.so"
+    fake.write_bytes(b"")
+    monkeypatch.setenv("PS_NATIVE_LIB", str(fake))
+    assert find_native_lib() == str(fake)
+
+    monkeypatch.delenv("PS_NATIVE_LIB")
+    found = find_native_lib()
+    import os
+    if os.path.exists(os.path.join(os.path.dirname(__file__), "..", "native", "build", "libps_native.so")):
+        assert found is not None and found.endswith("libps_native.so")
