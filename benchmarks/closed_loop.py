@@ -9,11 +9,12 @@ unseen random word sequences — then drives the REAL production surfaces
 end to end:
 
   1. tone-coded wav ark + JSONL manifests (train/dev/test, disjoint
-     sequences; every utterance appears under TWO tasks — "ASR" and a
-     "REV" reverse-order task — so prompt-conditioned multitasking is
-     exercised, not just transcription) + a tiny word-level HF tokenizer +
-     a tiny random-init HF Qwen2 checkpoint (exercising the safetensors
-     load path),
+     sequences; every utterance appears under THREE tasks — "ASR",
+     a "REV" reverse-order task, and a "TRN" word-for-word translation
+     into a disjoint target vocabulary (the EN2ZH analogue) — so
+     prompt-conditioned multitasking is exercised, not just
+     transcription) + a tiny word-level HF tokenizer + a tiny random-init
+     HF Qwen2 checkpoint (exercising the safetensors load path),
   2. ``cli/finetune`` on the audio-TASU branch (fbank -> SenseVoice encoder
      -> CTC posterior -> projector -> LLM -> merge -> CE), nothing frozen,
   3. ``cli/decode`` (beam 4, the reference default) from the exported
@@ -48,6 +49,14 @@ WORDS = [
     "red", "blue", "green", "gold", "iron", "wolf", "hawk", "bear",
     "oak", "elm", "ash", "fern", "moon", "star", "rain", "snow",
 ]
+# target-language vocabulary for the TRN task: disjoint from WORDS, so the
+# model must emit tokens that never appear in the CTC/audio stream — the
+# closed-loop analogue of the reference's EN2ZH translation task
+# (speech_dataset_large.py:151-160 prompts per task; BASELINE.md quality row)
+ZH_WORDS = [
+    "hong", "lan", "lyu", "jin", "tie", "lang", "ying", "xiong",
+    "xiang", "yushu", "cen", "jue", "yue", "xing", "yu", "xue",
+]
 TONE_SEC = 0.25
 GAP_SEC = 0.05
 
@@ -71,11 +80,14 @@ def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0,
                    multitask=True):
     """Wav ark + manifests with *sequence-disjoint* splits.
 
-    ``multitask``: each utterance also gets a second manifest row with task
-    "REV" whose target is the word sequence REVERSED — same audio,
-    different prompt, different required output.  The model can only solve
-    both by conditioning on the prompt (the reference's multitask framing,
-    ASR + EN2ZH etc., speech_dataset_large.py:151-160)."""
+    ``multitask``: each utterance also gets two more manifest rows — task
+    "REV" (target = the word sequence REVERSED) and task "TRN" (target =
+    the word-for-word translation into the disjoint ZH_WORDS vocabulary).
+    Same audio, different prompt, different required output: REV tests
+    prompt-conditioned reordering, TRN tests emitting tokens that never
+    appear in the audio-grounded source vocabulary at all.  Together they
+    are the closed-loop analogue of the reference's multitask framing
+    (ASR + EN2ZH etc., speech_dataset_large.py:151-160)."""
     from ps_slm_tpu.data import audio_io
 
     rng = np.random.default_rng(seed)
@@ -102,6 +114,10 @@ def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0,
                 manifests[split].append(
                     (key, "REV", " ".join(reversed(words)))
                 )
+                manifests[split].append((
+                    key, "TRN",
+                    " ".join(ZH_WORDS[WORDS.index(w)] for w in words),
+                ))
 
     ark = os.path.join(workdir, "wav.ark")
     offsets = audio_io.write_kaldi_wav_ark(ark, entries)
@@ -119,6 +135,7 @@ def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0,
     with open(prompt, "w") as f:
         f.write(json.dumps({"task": "ASR", "prompt": "transcribe"}) + "\n")
         f.write(json.dumps({"task": "REV", "prompt": "reverse"}) + "\n")
+        f.write(json.dumps({"task": "TRN", "prompt": "translate"}) + "\n")
 
 
 def build_llm_fixture(workdir: str, hidden=64, layers=2) -> str:
@@ -138,7 +155,8 @@ def build_llm_fixture(workdir: str, hidden=64, layers=2) -> str:
     specials = ["<unk>", "</s>", "<speech>"]
     vocab = {
         t: i for i, t in enumerate(
-            specials + ["transcribe", "reverse"] + WORDS
+            specials + ["transcribe", "reverse", "translate"]
+            + WORDS + ZH_WORDS
         )
     }
     tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
@@ -252,6 +270,32 @@ def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024,
     )
     with open(os.path.join(workdir, "wer_report.txt"), "w") as f:
         f.write(buf.getvalue())
+
+    # per-task WER (key suffix encodes the task: "", "_rev", "_trn")
+    def _task_of(key):
+        return ("REV" if key.endswith("_rev")
+                else "TRN" if key.endswith("_trn") else "ASR")
+
+    per_task = {}
+    with open(decode_log + "_gt") as f:
+        gt_rows = [l.split("\t", 1) for l in f.read().splitlines()]
+    with open(decode_log + "_pred") as f:
+        pred_rows = [l.split("\t", 1) for l in f.read().splitlines()]
+    tasks = sorted({_task_of(k) for k, _ in gt_rows})
+    if len(tasks) > 1:
+        for task in tasks:
+            gtp = decode_log + f"_gt.{task}"
+            prp = decode_log + f"_pred.{task}"
+            with open(gtp, "w") as f:
+                f.writelines(f"{k}\t{t}\n" for k, t in gt_rows
+                             if _task_of(k) == task)
+            with open(prp, "w") as f:
+                f.writelines(f"{k}\t{t}\n" for k, t in pred_rows
+                             if _task_of(k) == task)
+            per_task[task] = score_files(
+                gtp, prp, char=True, verbose=False, stream=io.StringIO(),
+            )["wer"]
+    result["per_task_wer"] = per_task
     result["ckpt"] = ckpt
     return result
 
@@ -396,6 +440,7 @@ def main(argv=None):
     print(json.dumps({
         "metric": "closed_loop_wer", "value": result["wer"],
         "unit": "%WER", "n_ref_tokens": result["all"],
+        "per_task_wer": result["per_task_wer"],
         "ckpt": result["ckpt"],
     }))
     if do_pool:

@@ -19,19 +19,22 @@ pytestmark = pytest.mark.slow  # minutes of real training
 def test_closed_loop_pipeline(tmp_path):
     from benchmarks.closed_loop import run
 
-    result = run(str(tmp_path), epochs=6, n_train=192, frame_budget=400)
+    result = run(str(tmp_path), epochs=10, n_train=192, frame_budget=400)
     assert result["all"] > 0
-    # 6 epochs is far from convergence; an untrained model scores ~95-100%
-    # (often worse with insertions), convergence scores 0.0 (docs/PERF.md)
+    # 10 epochs is far from convergence (3 tasks now, TRN needs the LLM to
+    # learn a vocab mapping); an untrained model scores ~95-100% (often
+    # worse with insertions), convergence scores 0.0 (docs/PERF.md)
     assert result["wer"] < 80.0, result
     assert os.path.exists(os.path.join(str(tmp_path), "wer_report.txt"))
     assert os.path.exists(result["ckpt"])
+    # per-task WER split present for all three tasks
+    assert set(result["per_task_wer"]) == {"ASR", "REV", "TRN"}
     # decode artifacts in the reference's key\ttext format; 32 held-out
-    # utterances x 2 tasks (ASR + REV)
+    # utterances x 3 tasks (ASR + REV + TRN translation)
     pred = os.path.join(str(tmp_path), "decode", "test_pred")
     with open(pred) as f:
         lines = f.read().splitlines()
-    assert len(lines) == 64 and all("\t" in l for l in lines)
+    assert len(lines) == 96 and all("\t" in l for l in lines)
 
     # trained-checkpoint pool-vs-static compare (real EOS raggedness);
     # pool_compare itself asserts per-key output identity between modes
@@ -39,6 +42,6 @@ def test_closed_loop_pipeline(tmp_path):
 
     cmp = pool_compare(str(tmp_path), result["ckpt"], repeats=1)
     assert cmp["outputs_identical"]
-    assert cmp["n_requests"] == 64
+    assert cmp["n_requests"] == 96
     assert 1 <= cmp["completion_lengths"]["min"]
     assert cmp["completion_lengths"]["max"] <= 12
