@@ -130,16 +130,55 @@ def _insert_slots(
                    tok0_buf, tok0_fresh)
 
 
-def _insert_slot(
-    params, cfg, cache, state, slot, embeds, attn_mask, position_ids,
-    *, eos_token_id: int, capacity: int,
-):
-    """Single-request insert (kept for the speculative pool's call shape)."""
-    return _insert_slots(
-        params, cfg, cache, state, jnp.asarray([slot], jnp.int32),
-        embeds, attn_mask, position_ids,
-        eos_token_id=eos_token_id, capacity=capacity, k=1,
-    )
+def _merged_rows(model, params, batches):
+    """Merge front half (encoder -> posterior -> PSD -> projector -> merge)
+    for a list of same-shape B=1 batches in ONE stacked call — every
+    front-half op is row-independent.  Non-array payload keys are dropped
+    from the stack (batches containing them are grouped as singletons by
+    ``_padded_prefills`` and never reach the stacking path)."""
+    from types import SimpleNamespace
+
+    from ps_slm_tpu.inference.generate import _merged_fn
+
+    if len(batches) == 1:
+        return [_merged_fn(model)(params, batches[0])]
+    stacked = {
+        key: jnp.concatenate([b[key] for b in batches], axis=0)
+        for key in batches[0]
+        if hasattr(batches[0][key], "shape")
+    }
+    m = _merged_fn(model)(params, stacked)
+    return [
+        SimpleNamespace(
+            embeds=m.embeds[i: i + 1],
+            attention_mask=m.attention_mask[i: i + 1],
+            position_ids=m.position_ids[i: i + 1],
+        )
+        for i in range(len(batches))
+    ]
+
+
+def _padded_prefills(model, params, rows, prefill_len):
+    """Group same-shape B=1 batch dicts, run the front half batched per
+    group, left-pad each merged prefill to the pool bucket.  Returns
+    ``(embeds, mask, pos)`` tuples aligned with ``rows``.  Shared by the
+    greedy/beam/speculative pools — per-request B=1 front halves were the
+    pools' dominant refill overhead at 1.5B (docs/PERF.md)."""
+    padded = [None] * len(rows)
+    groups: Dict[tuple, list] = {}
+    for i, batch in enumerate(rows):
+        if all(hasattr(v, "shape") for v in batch.values()):
+            sig = tuple(sorted(
+                (kk, tuple(v.shape)) for kk, v in batch.items()
+            ))
+        else:
+            sig = ("singleton", i)  # non-array payloads: no stacking
+        groups.setdefault(sig, []).append(i)
+    for idxs in groups.values():
+        merged = _merged_rows(model, params, [rows[i] for i in idxs])
+        for j, m in zip(idxs, merged):
+            padded[j] = _left_pad_merged(m, prefill_len)
+    return padded
 
 
 @functools.partial(
@@ -227,28 +266,20 @@ class ContinuousGreedyDecoder:
         self._keys: list = [None] * num_slots
         self._toks: list = [[] for _ in range(num_slots)]
         self._epoch: list = [0] * num_slots
-        # upper bound on tokens a slot has provably produced (prefill emits
-        # 1, each launched chunk emits <= sync_every); lets the run loop
-        # skip a chunk that could only churn finished slots
+        # tokens a slot will have been OFFERED once every launched chunk is
+        # harvested (the prefill contributes 1, each launched chunk up to
+        # sync_every).  Once this reaches a slot's cap, the chunks already
+        # in flight suffice to finish it (EOS can only finish it sooner),
+        # so the run loop can skip launching another chunk for it.
         self._t_host: list = [0] * num_slots
 
     def _refill_many(self, slot_req) -> None:
         """Grouped refill: batched front half over same-shape requests +
         power-of-two B=k prefills (see ContinuousBeamDecoder)."""
-        padded = [None] * len(slot_req)
-        groups: Dict[tuple, list] = {}
-        for i, (slot, key, batch) in enumerate(slot_req):
-            if all(hasattr(v, "shape") for v in batch.values()):
-                sig = tuple(sorted(
-                    (kk, tuple(v.shape)) for kk, v in batch.items()
-                ))
-            else:
-                sig = ("singleton", i)
-            groups.setdefault(sig, []).append(i)
-        for idxs in groups.values():
-            merged = self._merged_rows([slot_req[i][2] for i in idxs])
-            for j, m in zip(idxs, merged):
-                padded[j] = _left_pad_merged(m, self.prefill_len)
+        padded = _padded_prefills(
+            self.model, self.params,
+            [batch for _, _, batch in slot_req], self.prefill_len,
+        )
         i = 0
         while i < len(slot_req):
             k = 1 << ((len(slot_req) - i).bit_length() - 1)
@@ -267,28 +298,6 @@ class ContinuousGreedyDecoder:
                 self._epoch[slot] += 1
                 self._t_host[slot] = 1  # the prefill token (tok0)
             i += k
-
-    def _merged_rows(self, batches):
-        """Front half for same-shape B=1 batches in one stacked call."""
-        from types import SimpleNamespace
-
-        from ps_slm_tpu.inference.generate import _merged_fn
-
-        if len(batches) == 1:
-            return [_merged_fn(self.model)(self.params, batches[0])]
-        stacked = {
-            key: jnp.concatenate([b[key] for b in batches], axis=0)
-            for key in batches[0]
-        }
-        m = _merged_fn(self.model)(self.params, stacked)
-        return [
-            SimpleNamespace(
-                embeds=m.embeds[i: i + 1],
-                attention_mask=m.attention_mask[i: i + 1],
-                position_ids=m.position_ids[i: i + 1],
-            )
-            for i in range(len(batches))
-        ]
 
     def run(
         self, batches: Iterator[Tuple[str, Dict]],
@@ -337,10 +346,14 @@ class ContinuousGreedyDecoder:
 
             # dispatch chunk k+1 before harvesting chunk k: the host sync
             # below overlaps this chunk's device time.  Skip the dispatch
-            # when every busy slot has provably hit its token cap (EOS may
-            # finish slots sooner, but a cap-hit slot is inactive either
-            # way) and the in-flight harvest will free them — the chunk
-            # would only churn frozen slots.
+            # when every busy slot has provably been offered >= cap tokens
+            # by the chunks already launched (EOS may finish slots sooner,
+            # but a cap-hit slot is inactive either way) — another chunk
+            # would only churn frozen slots.  The ``inflight is not None``
+            # guard is load-bearing: a slot refilled AFTER the in-flight
+            # chunk was dispatched is absent from its snapshot and is only
+            # freed one iteration later, so a fresh slot always gets its
+            # chunk on the next pass instead of livelocking the skip.
             all_done = all(
                 self._t_host[i] >= cap(self._keys[i]) for i in busy
             )

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ps_slm_tpu.models import qwen2
-from ps_slm_tpu.inference.continuous import _left_pad_merged
+from ps_slm_tpu.inference.continuous import _padded_prefills
 
 NEG_INF = -1e30
 
@@ -357,20 +357,10 @@ class ContinuousBeamDecoder:
         prefill all pending requests in power-of-two B=k forwards —
         per-request B=1 front halves + prefills were the pool's dominant
         overhead at 1.5B (docs/PERF.md beam-pool numbers)."""
-        padded = [None] * len(slot_req)
-        groups: Dict[tuple, list] = {}
-        for i, (slot, key, batch) in enumerate(slot_req):
-            if all(hasattr(v, "shape") for v in batch.values()):
-                sig = tuple(sorted(
-                    (k, tuple(v.shape)) for k, v in batch.items()
-                ))
-            else:
-                sig = ("singleton", i)  # non-array payloads: no stacking
-            groups.setdefault(sig, []).append(i)
-        for idxs in groups.values():
-            merged = self._merged_rows([slot_req[i][2] for i in idxs])
-            for j, m in zip(idxs, merged):
-                padded[j] = _left_pad_merged(m, self.prefill_len)
+        padded = _padded_prefills(
+            self.model, self.params,
+            [batch for _, _, batch in slot_req], self.prefill_len,
+        )
         i = 0
         while i < len(slot_req):
             k = 1 << ((len(slot_req) - i).bit_length() - 1)
@@ -390,30 +380,6 @@ class ContinuousBeamDecoder:
                 self._epoch[slot] += 1
                 self._t_host[slot] = 1  # _insert_slots sets device t=1
             i += k
-
-    def _merged_rows(self, batches):
-        """Front half for a list of same-shape B=1 batches in ONE call:
-        stack to B=k, merge, split rows (every op is row-independent)."""
-        from types import SimpleNamespace
-
-        from ps_slm_tpu.inference.generate import _merged_fn
-
-        if len(batches) == 1:
-            return [_merged_fn(self.model)(self.params, batches[0])]
-        stacked = {
-            key: jnp.concatenate([b[key] for b in batches], axis=0)
-            for key in batches[0]
-            if hasattr(batches[0][key], "shape")
-        }
-        m = _merged_fn(self.model)(self.params, stacked)
-        return [
-            SimpleNamespace(
-                embeds=m.embeds[i: i + 1],
-                attention_mask=m.attention_mask[i: i + 1],
-                position_ids=m.position_ids[i: i + 1],
-            )
-            for i in range(len(batches))
-        ]
 
     def run(
         self, batches: Iterator[Tuple[str, Dict]],

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ps_slm_tpu.models import qwen2
-from ps_slm_tpu.inference.continuous import _left_pad_merged
+from ps_slm_tpu.inference.continuous import _padded_prefills
 
 
 def _init_pool(cfg, num_slots, capacity, d_max, eos, dtype):
@@ -49,51 +49,57 @@ def _init_pool(cfg, num_slots, capacity, d_max, eos, dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "eos_token_id", "capacity"),
+    jax.jit, static_argnames=("cfg", "eos_token_id", "capacity", "k"),
     donate_argnums=(2,),  # cache only — see the pool-layout comment above
 )
-def _insert_slot(
-    params, cfg, cache, state, slot, embeds, attn_mask, position_ids,
-    draft_row, draft_len,
-    *, eos_token_id: int, capacity: int,
+def _insert_slots(
+    params, cfg, cache, state, slots, embeds, attn_mask, position_ids,
+    draft_rows, draft_lens,
+    *, eos_token_id: int, capacity: int, k: int = 1,
 ):
+    """Prefill ``k`` requests in ONE forward (B=k) and install each in its
+    pool row with its draft — grouped refill, mirroring
+    ``continuous._insert_slots`` (B=1 prefills waste the MXU at 1.5B)."""
     dtype = params["embed_tokens"].dtype
-    cache1 = qwen2.init_cache(cfg, 1, capacity, dtype=dtype)
+    cachek = qwen2.init_cache(cfg, k, capacity, dtype=dtype)
     s = embeds.shape[1]
-    mask1 = jnp.zeros((1, capacity), bool).at[:, :s].set(attn_mask)
-    hidden, cache1 = qwen2.forward(
+    maskk = jnp.zeros((k, capacity), bool).at[:, :s].set(attn_mask)
+    hidden, cachek = qwen2.forward(
         params, cfg, embeds.astype(dtype),
-        attention_mask=mask1, position_ids=position_ids,
-        cache=cache1, cache_index=0,
+        attention_mask=maskk, position_ids=position_ids,
+        cache=cachek, cache_index=0,
     )
     tok0 = jnp.argmax(
         qwen2.unembed(params, hidden[:, -1:])[:, 0], axis=-1
-    ).astype(jnp.int32)[0]
+    ).astype(jnp.int32)                                     # [k]
 
     (pmask, positions, write_idx, last_tok, active, gen,
      draft, dlens, cursor, tok0_buf, tok0_fresh) = state
-    cache = {
-        "k": jax.lax.dynamic_update_slice(
-            cache["k"], cache1["k"], (0, slot, 0, 0, 0)
-        ),
-        "v": jax.lax.dynamic_update_slice(
-            cache["v"], cache1["v"], (0, slot, 0, 0, 0)
-        ),
-    }
-    pmask = jax.lax.dynamic_update_slice(pmask, mask1, (slot, 0))
-    positions = positions.at[slot].set(position_ids[0, -1] + 1)
-    write_idx = write_idx.at[slot].set(s)
-    last_tok = last_tok.at[slot].set(tok0)
-    active = active.at[slot].set(tok0 != eos_token_id)
-    gen = gen.at[slot].set(1)
-    draft = draft.at[slot].set(draft_row)
-    dlens = dlens.at[slot].set(draft_len)
-    # skip draft[0] when it matches the prefill's token
-    cursor = cursor.at[slot].set(
-        ((draft_row[0] == tok0) & (draft_len > 0)).astype(jnp.int32)
-    )
-    tok0_buf = tok0_buf.at[slot].set(tok0)
-    tok0_fresh = tok0_fresh.at[slot].set(True)
+    for i in range(k):
+        slot = slots[i]
+        cache = {
+            key: jax.lax.dynamic_update_slice(
+                cache[key], cachek[key][:, i: i + 1], (0, slot, 0, 0, 0)
+            )
+            for key in ("k", "v")
+        }
+        pmask = jax.lax.dynamic_update_slice(
+            pmask, maskk[i: i + 1], (slot, 0)
+        )
+        positions = positions.at[slot].set(position_ids[i, -1] + 1)
+        write_idx = write_idx.at[slot].set(s)
+        last_tok = last_tok.at[slot].set(tok0[i])
+        active = active.at[slot].set(tok0[i] != eos_token_id)
+        gen = gen.at[slot].set(1)
+        draft = draft.at[slot].set(draft_rows[i])
+        dlens = dlens.at[slot].set(draft_lens[i])
+        # skip draft[0] when it matches the prefill's token
+        cursor = cursor.at[slot].set(
+            ((draft_rows[i, 0] == tok0[i]) & (draft_lens[i] > 0))
+            .astype(jnp.int32)
+        )
+        tok0_buf = tok0_buf.at[slot].set(tok0[i])
+        tok0_fresh = tok0_fresh.at[slot].set(True)
     return cache, (pmask, positions, write_idx, last_tok, active, gen,
                    draft, dlens, cursor, tok0_buf, tok0_fresh)
 
@@ -260,22 +266,41 @@ class ContinuousSpeculativeDecoder:
         # already hit their cap
         self._t_host: list = [0] * num_slots
 
-    def _refill(self, slot: int, batch: Dict, draft, draft_len) -> None:
-        from ps_slm_tpu.inference.generate import _merged_fn
-
-        merged = _merged_fn(self.model)(self.params, batch)
-        embeds, mask, pos = _left_pad_merged(merged, self.prefill_len)
-        row = np.zeros((self.d_max,), np.int32)
-        n = min(len(draft), self.d_max)
-        row[:n] = np.asarray(draft[:n], np.int32)
-        self.pool = _insert_slot(
-            self.params["llm"], self.cfg, *self.pool, slot,
-            embeds, mask, pos, jnp.asarray(row), jnp.int32(n),
-            eos_token_id=self.eos, capacity=self.capacity,
+    def _refill_many(self, slot_req) -> None:
+        """Grouped refill (see ContinuousGreedyDecoder): batched front half
+        over same-shape requests + power-of-two B=k prefills, draft rows
+        installed alongside.  ``slot_req`` entries are
+        ``(slot, key, (batch, draft_ids, draft_len))``; ``draft_len`` is
+        honored (drafts may arrive padded wider than their true length)."""
+        padded = _padded_prefills(
+            self.model, self.params,
+            [batch for _, _, (batch, _, _) in slot_req], self.prefill_len,
         )
-        self._toks[slot] = []
-        self._epoch[slot] += 1
-        self._t_host[slot] = 1  # the prefill token (tok0)
+        rows = np.zeros((len(slot_req), self.d_max), np.int32)
+        lens = np.zeros((len(slot_req),), np.int32)
+        for i, (_, _, (_, draft, dlen)) in enumerate(slot_req):
+            n = min(int(dlen), len(draft), self.d_max)
+            rows[i, :n] = np.asarray(draft[:n], np.int32)
+            lens[i] = n
+        i = 0
+        while i < len(slot_req):
+            k = 1 << ((len(slot_req) - i).bit_length() - 1)
+            chunk, ms = slot_req[i: i + k], padded[i: i + k]
+            self.pool = _insert_slots(
+                self.params["llm"], self.cfg, *self.pool,
+                jnp.asarray([s for s, _, _ in chunk], jnp.int32),
+                jnp.concatenate([e for e, _, _ in ms], axis=0),
+                jnp.concatenate([m for _, m, _ in ms], axis=0),
+                jnp.concatenate([p for _, _, p in ms], axis=0),
+                jnp.asarray(rows[i: i + k]), jnp.asarray(lens[i: i + k]),
+                eos_token_id=self.eos, capacity=self.capacity, k=k,
+            )
+            for slot, key, _ in chunk:
+                self._keys[slot] = key
+                self._toks[slot] = []
+                self._epoch[slot] += 1
+                self._t_host[slot] = 1  # the prefill token (tok0)
+            i += k
 
     def run(
         self, batches: Iterator[Tuple[str, Tuple[Dict, list]]],
@@ -304,15 +329,16 @@ class ContinuousSpeculativeDecoder:
             return key, np.asarray(toks, np.int32)
 
         while True:
+            pending = []
             while free and not exhausted:
                 try:
                     key, (batch, draft, dlen) = next(batches)
                 except StopIteration:
                     exhausted = True
                     break
-                slot = free.pop()
-                self._keys[slot] = key
-                self._refill(slot, batch, draft, dlen)
+                pending.append((free.pop(), key, (batch, draft, dlen)))
+            if pending:
+                self._refill_many(pending)
 
             busy = [
                 i for i in range(self.num_slots) if self._keys[i] is not None

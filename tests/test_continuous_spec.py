@@ -190,3 +190,65 @@ def test_spec_pool_fuzz(seed):
     assert set(got) == set(expected)
     for k in expected:
         np.testing.assert_array_equal(got[k], expected[k]), k
+
+
+def test_spec_pool_honors_draft_len_on_padded_rows():
+    """Drafts may arrive as fixed-width padded arrays with a shorter true
+    length; the pool must verify only draft[:draft_len] (the padding is
+    NOT draft) and behave exactly like the unpadded call — same outputs,
+    same number of chunk dispatches."""
+    cfg, llm = _model()
+    reqs = _requests(cfg, llm, n=3)
+    expected = {}
+    for key, merged in reqs:
+        emb, mask, pos = _left_pad_merged(merged, PREFILL)
+        toks = np.asarray(greedy_generate(
+            llm, cfg, emb, mask, pos,
+            max_new_tokens=MAX_NEW, eos_token_id=EOS,
+        ))[0]
+        cut = np.where(toks == EOS)[0]
+        expected[key] = toks[: cut[0]] if len(cut) else toks
+
+    model = SimpleNamespace(llm_cfg=cfg)
+    merged_by_key = dict(reqs)
+    model._merged_jit = lambda params, batch: merged_by_key[batch["key"]]
+
+    import ps_slm_tpu.inference.continuous_spec as cs
+
+    def run_counting(draft_of):
+        calls = {"n": 0}
+        orig = cs._pool_spec_steps
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        cs._pool_spec_steps = counting
+        try:
+            dec = ContinuousSpeculativeDecoder(
+                model, {"llm": llm}, num_slots=2, prefill_len=PREFILL,
+                max_new_tokens=MAX_NEW, eos_token_id=EOS, window=4,
+                draft_max=32, sync_every=1,
+            )
+            got = dict(dec.run(
+                (k, ({"key": k},) + draft_of(k)) for k, _ in reqs
+            ))
+        finally:
+            cs._pool_spec_steps = orig
+        return got, calls["n"]
+
+    # oracle drafts, exact width
+    exact, n_exact = run_counting(
+        lambda k: (list(expected[k]), len(expected[k]))
+    )
+    # same drafts zero-padded to a fixed 32-wide row, true length passed
+    def padded(k):
+        row = np.zeros(32, np.int32)
+        row[: len(expected[k])] = expected[k]
+        return row, len(expected[k])
+
+    pad, n_pad = run_counting(padded)
+    for k in expected:
+        np.testing.assert_array_equal(exact[k], expected[k]), k
+        np.testing.assert_array_equal(pad[k], expected[k]), k
+    assert n_pad == n_exact, (n_pad, n_exact)
