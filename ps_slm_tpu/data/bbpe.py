@@ -163,9 +163,11 @@ class ByteLevelBPE:
         for t, i in self.special_tokens.items():
             self.inv_vocab.setdefault(i, t)
         parts = sorted(self.special_tokens, key=len, reverse=True)
+        # empty alternation would compile to "()" which matches the empty
+        # string and makes regex.split() shred text into single characters
         self._special_re = regex.compile(
             "(" + "|".join(regex.escape(t) for t in parts) + ")"
-        )
+        ) if parts else None
 
     # -- encode ------------------------------------------------------------
 

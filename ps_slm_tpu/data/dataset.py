@@ -70,6 +70,9 @@ class Sample:
     target: str
     gt: str
     task: str
+    waveform_len: int = 0          # exact sample count (known without
+    #                                decoding under lazy_audio — lets the
+    #                                collator compute global pad shapes)
 
 
 class MultiTaskDataset:
@@ -158,13 +161,23 @@ class MultiTaskDataset:
         task = item.get("task", "ASR")
 
         raw_gt = item.get("GT", "")
-        try:
-            gt = raw_gt.encode("utf-8").decode("unicode_escape")
-        except Exception:
+        # the reference unescapes GT via unicode_escape unconditionally
+        # (speech_dataset_large.py:99-105), which is right for pure-ASCII
+        # manifests carrying literal \uXXXX escapes but mojibakes real
+        # UTF-8 (latin-1 reinterpretation of the encoded bytes).  Apply it
+        # only to ASCII strings: escaped manifests still round-trip, and
+        # multilingual GT ("你好", "café") survives intact.
+        if raw_gt.isascii():
+            try:
+                gt = raw_gt.encode("utf-8").decode("unicode_escape")
+            except Exception:
+                gt = raw_gt
+        else:
             gt = raw_gt
 
         waveform = None
         est_frames = 0
+        n = 0
         if self.load_audio:
             from ps_slm_tpu.data import audio_io
 
@@ -225,7 +238,7 @@ class MultiTaskDataset:
             key=key, input_ids=input_ids, labels=labels,
             prompt_len=len(prompt_ids), waveform=waveform,
             est_frames=est_frames, gt_ids=gt_ids, target=target, gt=gt,
-            task=task,
+            task=task, waveform_len=n,
         )
 
 
@@ -294,7 +307,45 @@ class Collator:
         self.cfg = cfg
         self.inference_mode = inference_mode
 
-    def __call__(self, samples: List[Sample]) -> Dict[str, np.ndarray]:
+    def shape_hints(self, samples: List[Sample]) -> Dict[str, Any]:
+        """Padding targets from the FULL global bucket.
+
+        Multi-host: GlobalBatcher hands each host only its slice of the
+        bucket; pad shapes and batch keys computed from the slice alone
+        could diverge across hosts (different bucketed lengths, gt keys
+        present on one host only) — different jitted programs, collective
+        mismatch.  Computing them here over the whole bucket keeps every
+        host's batch bit-identical in structure.  Uses ``waveform_len``
+        (not the array) so lazy_audio rows are never decoded."""
+        tb = self.cfg.token_bucket
+        hints: Dict[str, Any] = {
+            "s_len": _bucket(max(len(s.input_ids) for s in samples), tb),
+            "has_gt": any(len(s.gt_ids) for s in samples),
+        }
+        if hints["has_gt"]:
+            hints["g_len"] = _bucket(
+                max(len(s.gt_ids) for s in samples), tb
+            )
+        if samples[0].waveform is not None and self.cfg.encoder != "whisper":
+            def wav_len(s):
+                if s.waveform_len:
+                    return s.waveform_len
+                if s.waveform is not None and not callable(s.waveform):
+                    return len(s.waveform)
+                return 0
+
+            wav_bucket = self.cfg.feature_bucket * 6 * 160
+            hints["n_len"] = _bucket(
+                max(wav_len(s) for s in samples), wav_bucket
+            )
+        return hints
+
+    def __call__(
+        self, samples: List[Sample],
+        hints: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, np.ndarray]:
+        if hints is None:
+            hints = self.shape_hints(samples)
         for s in samples:
             if callable(s.waveform):  # lazy_audio: decode at collate time
                 s.waveform = s.waveform()
@@ -303,7 +354,7 @@ class Collator:
         ignore = self.tokenizer.default_ignore_token
         tb = self.cfg.token_bucket
 
-        s_len = _bucket(max(len(s.input_ids) for s in samples), tb)
+        s_len = hints["s_len"]
         input_ids = np.stack([
             _pad_to(s.input_ids, s_len, pad_id, left) for s in samples
         ])
@@ -338,10 +389,7 @@ class Collator:
                 )
             else:
                 # waveform bucket = feature_bucket LFR frames worth of samples
-                wav_bucket = self.cfg.feature_bucket * 6 * 160
-                n_len = _bucket(
-                    max(len(s.waveform) for s in samples), wav_bucket
-                )
+                n_len = hints["n_len"]
                 wav = np.stack([
                     _pad_to(s.waveform.astype(np.float32), n_len, 0.0)
                     for s in samples
@@ -356,9 +404,15 @@ class Collator:
                 batch["waveform_length"] = np.asarray(
                     [len(s.waveform) for s in samples], np.int32
                 )
+            # true per-row audio duration, pre-pad (host-side metric: the
+            # whisper path's fixed 3000-frame input_feature_length must not
+            # be mistaken for real audio — training/loop.py throughput)
+            batch["audio_seconds"] = np.asarray(
+                [len(s.waveform) / 16000.0 for s in samples], np.float32
+            )
 
-        if any(len(s.gt_ids) for s in samples):
-            g_len = _bucket(max(len(s.gt_ids) for s in samples), tb)
+        if hints["has_gt"]:
+            g_len = hints["g_len"]
             batch["gt_ids"] = np.stack([
                 _pad_to(s.gt_ids, g_len, 0) for s in samples
             ])
@@ -424,7 +478,10 @@ class GlobalBatcher:
             valid[: len(mine)] = True
             while len(mine) < per_host:
                 mine = mine + [bucket[0]]
-            out = self.collator(mine)
+            # pad shapes/keys from the FULL global bucket, not this host's
+            # slice — hosts' slices can bucket to different lengths, which
+            # would compile different programs per process (see shape_hints)
+            out = self.collator(mine, hints=self.collator.shape_hints(bucket))
             out["batch_valid"] = valid
             yield out
 

@@ -47,10 +47,26 @@ def to_device_batch(batch: Dict, mesh) -> Dict:
 
 
 def _batch_audio_seconds(batch: Dict) -> float:
+    """True audio seconds in the batch, excluding padded repeat rows
+    (batch_valid=False) — those train with masked loss and must not count
+    toward throughput.  ``audio_seconds`` is the collator's pre-pad per-row
+    duration (correct for the whisper path too, whose
+    input_feature_length is a fixed 3000 regardless of real audio);
+    the fallbacks cover precomputed-feature arks (60 ms LFR frames)."""
+    valid = batch.get("batch_valid")
+
+    def masked_sum(v):
+        v = np.asarray(v)
+        if valid is not None:
+            v = v[np.asarray(valid)]
+        return float(np.sum(v))
+
+    if "audio_seconds" in batch:
+        return masked_sum(batch["audio_seconds"])
     if "waveform_length" in batch:
-        return float(np.sum(batch["waveform_length"])) / 16000.0
+        return masked_sum(batch["waveform_length"]) / 16000.0
     if "input_feature_length" in batch:
-        return float(np.sum(batch["input_feature_length"])) * 0.060
+        return masked_sum(batch["input_feature_length"]) * 0.060
     return 0.0
 
 

@@ -71,7 +71,7 @@ def sensevoice_matmul_flops(cfg, frames: int, batch: int) -> Dict[str, float]:
     # encoders0 takes input_size; every other block d -> 3d
     qkv = 2.0 * tokens * 3 * d * (
         cfg.input_size + (n_layers - 1) * d
-    ) / 1.0
+    )
     out = 2.0 * tokens * n_layers * d * d
     fsmn = 2.0 * tokens * n_layers * cfg.kernel_size * d
     ffn = 2.0 * tokens * n_layers * 2 * d * ff
@@ -112,11 +112,15 @@ def tasu_step_flops(
 ) -> Dict[str, float]:
     """Total fwd+bwd useful matmul FLOPs for one audio-TASU train step.
 
-    Mirrors the static shapes of ``models/tasu.py::forward``: merged LLM
-    sequence = text_len + frames - 1 (``ops/merge.py``), gathered CE
-    unembeds ceil(text_len/8)*8 rows when text_len <= (T-1)/2.
+    Mirrors the static shapes of ``models/tasu.py::forward``: the audio
+    span entering the merge is the projector's OUTPUT length
+    frames // encoder_projector_ds_rate (frame-concat downsampling,
+    models/projector.py), so merged LLM sequence = text_len + A - 1
+    (``ops/merge.py`` OUT = S + A - 1); gathered CE unembeds
+    ceil(text_len/8)*8 rows when text_len <= (T-1)/2.
     """
-    merged_seq = text_len + frames - 1
+    a_len = frames // max(model_cfg.encoder_projector_ds_rate, 1)
+    merged_seq = text_len + a_len - 1
     if n_unembed_rows is None:
         if text_len <= (merged_seq - 1) // 2:
             n_unembed_rows = min(-(-text_len // 8) * 8, merged_seq - 1)
@@ -132,8 +136,11 @@ def tasu_step_flops(
     # backward multipliers (see module docstring)
     enc_bwd = 0.0 if freeze_encoder else 2.0 * enc["total"]
     proj_bwd = 0.0 if freeze_projector else 2.0 * proj_fwd
-    if freeze_llm and not use_peft:
-        # dgrad only: 1x projections/mlp/unembed, 2x attention interior
+    if freeze_llm:
+        # dgrad only: 1x projections/mlp/unembed, 2x attention interior.
+        # LoRA (use_peft) keeps the same multipliers: the frozen base still
+        # gets no wgrads, and the adapter wgrads are the negligible
+        # low-rank matmuls (module docstring)
         llm_bwd = llm["proj"] + llm["mlp"] + llm["unembed"] + 2 * llm["attn"]
     else:
         llm_bwd = 2.0 * llm["total"]

@@ -195,3 +195,15 @@ def test_pattern_autoselect_by_tokenizer_class(trained):
         own = ByteLevelBPE.from_pretrained(path)
         import regex
         assert own.pat.pattern == regex.compile(want).pattern
+
+
+def test_empty_special_tokens_left_regexless():
+    """add_special_tokens([]) must not compile the empty alternation '()'
+    (which matches the empty string and makes split() shred text into
+    single characters, silently breaking pre-tokenization)."""
+    vocab = {"h": 0, "i": 1, "hi": 2}
+    own = ByteLevelBPE(vocab, [("h", "i")])
+    before = own.encode("hi hi")
+    own.add_special_tokens([])
+    assert own._special_re is None
+    assert own.encode("hi hi") == before

@@ -199,3 +199,113 @@ def test_skip_batches_defers_audio_decode(tmp_path, monkeypatch):
     calls.clear()
     list(get_speech_dataset(cfg, tok, "train", skip_batches=2))
     assert 0 < len(calls) < n_full
+
+
+def test_global_batcher_cross_host_shapes_and_keys():
+    """Pad shapes and batch keys must come from the GLOBAL bucket: hosts'
+    slices can bucket to different max lengths, and gt_ids presence can
+    differ per slice — every host must still build a batch with the
+    identical key set and array shapes (different jitted programs per
+    process would hang the collectives)."""
+    from ps_slm_tpu.config import DataConfig
+    from ps_slm_tpu.data.dataset import Sample
+
+    def mk(key, toks, wav_n, gt_n):
+        return Sample(
+            key=key,
+            input_ids=np.arange(toks, dtype=np.int32),
+            labels=np.arange(toks, dtype=np.int32),
+            prompt_len=1,
+            waveform=np.zeros(wav_n, np.float32),
+            est_frames=wav_n // 960,
+            gt_ids=np.arange(gt_n, dtype=np.int32),
+            target="t", gt="g", task="ASR",
+            waveform_len=wav_n,
+        )
+
+    # host0 gets rows [0,2], host1 gets rows [1,3]; ONLY host0's rows carry
+    # the long lengths and the nonzero gt_ids
+    samples = [
+        mk("long", 40, 40000, 12),
+        mk("s1", 4, 8000, 0),
+        mk("s2", 5, 9000, 0),
+        mk("s3", 4, 8500, 0),
+    ]
+    cfg = DataConfig(feature_bucket=16, token_bucket=8)
+    tok = StubTokenizer()
+    coll = Collator(tok, cfg)
+
+    outs = []
+    for host in range(2):
+        gb = GlobalBatcher(
+            samples, coll, max_frame_length=10**9, ds_rate=1,
+            num_hosts=2, host_id=host, fixed_batch_size=4,
+        )
+        outs.append(list(gb))
+    assert len(outs[0]) == len(outs[1]) == 1
+    b0, b1 = outs[0][0], outs[1][0]
+    assert set(b0) == set(b1)
+    for k in b0:
+        if hasattr(b0[k], "shape"):
+            assert b0[k].shape == b1[k].shape, k
+    # shapes reflect the GLOBAL maxima (host1 has no long row locally)
+    assert b1["input_ids"].shape[1] == b0["input_ids"].shape[1] == 40
+    assert "gt_ids" in b1 and b1["gt_ids"].shape[1] == 16  # bucketed 12
+
+
+def test_gt_unicode_handling(tmp_path):
+    """Escaped-ASCII GT unescapes (the reference's manifest convention,
+    speech_dataset_large.py:99-105); real UTF-8 GT must NOT be mojibaked
+    by unicode_escape's latin-1 reinterpretation."""
+    rate = 16000
+    entries = {"u0": (rate, np.zeros(rate, np.float32)),
+               "u1": (rate, np.zeros(rate, np.float32))}
+    ark = tmp_path / "wav.ark"
+    offsets = audio_io.write_kaldi_wav_ark(str(ark), entries)
+    split_dir = tmp_path / "train"
+    split_dir.mkdir()
+    rows = [
+        {"key": "u0", "path": f"{ark}:{offsets['u0']}",
+         "target": "ni hao", "GT": "\\u4f60\\u597d", "task": "ASR"},
+        {"key": "u1", "path": f"{ark}:{offsets['u1']}",
+         "target": "ni hao", "GT": "你好", "task": "ASR"},
+    ]
+    with open(split_dir / "multitask.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    prompt_file = tmp_path / "multiprompt.jsonl"
+    prompt_file.write_text(json.dumps({"task": "ASR", "prompt": "t:"}) + "\n")
+    cfg = DataConfig(
+        multitask_prompt_path=str(prompt_file),
+        train_scp_file_path=str(split_dir),
+        feature_bucket=16, token_bucket=8,
+    )
+    ds = MultiTaskDataset(cfg, StubTokenizer(), "train")
+    got = {s.key: s.gt for s in ds}
+    assert got["u0"] == "你好"  # literal \uXXXX escapes decoded
+    assert got["u1"] == "你好"  # real UTF-8 untouched
+
+
+def test_audio_seconds_metric_masks_padded_rows(tmp_path):
+    """The collator reports true pre-pad audio seconds; the train loop's
+    throughput meter must exclude batch_valid=False repeat rows."""
+    from ps_slm_tpu.training.loop import _batch_audio_seconds
+
+    cfg = _fixtures(tmp_path, n=3)
+    tok = StubTokenizer()
+    batches = [
+        b for h in range(2)
+        for b in get_speech_dataset(cfg, tok, "train", num_hosts=2, host_id=h)
+    ]
+    saw_padded = False
+    for batch in batches:
+        assert "audio_seconds" in batch
+        valid = batch["batch_valid"]
+        expect = float(np.sum(np.asarray(batch["audio_seconds"])[valid]))
+        assert _batch_audio_seconds(batch) == pytest.approx(expect)
+        if not valid.all():
+            saw_padded = True
+            assert _batch_audio_seconds(batch) < float(
+                np.sum(batch["audio_seconds"])
+            )
+    assert saw_padded  # 3 rows over 2 hosts must pad somewhere

@@ -189,3 +189,43 @@ def test_device_peak_lookup():
         device_kind = "cpu"
 
     assert flops_mod.device_peak_tflops(C()) is None
+
+
+def test_ds_rate_shrinks_merged_seq_accounting():
+    """The merged LLM sequence entering the FLOPs model must be the
+    projector's OUTPUT length (frames // ds_rate), not the raw encoder
+    frames — ds_rate=2 halves the audio span and thus the LLM FLOPs."""
+    _, mc, model, _ = _setup()
+    import dataclasses
+
+    base = flops_mod.tasu_step_flops(
+        model.llm_cfg, model.enc_cfg, mc,
+        batch=BATCH, frames=FRAMES, text_len=TEXT_LEN,
+        freeze_llm=True, freeze_encoder=True,
+    )
+    mc2 = dataclasses.replace(mc, encoder_projector_ds_rate=2)
+    half = flops_mod.tasu_step_flops(
+        model.llm_cfg, model.enc_cfg, mc2,
+        batch=BATCH, frames=FRAMES, text_len=TEXT_LEN,
+        freeze_llm=True, freeze_encoder=True,
+    )
+    assert half["llm_fwd"] < base["llm_fwd"]
+    # encoder cost is unchanged (downsampling happens after the encoder)
+    assert half["encoder_fwd"] == base["encoder_fwd"]
+
+
+def test_lora_backward_not_charged_full_wgrads():
+    """freeze_llm + use_peft (LoRA) must keep the dgrad-only LLM backward:
+    the frozen base gets no weight grads, adapters are negligible."""
+    _, mc, model, _ = _setup()
+    frozen = flops_mod.tasu_step_flops(
+        model.llm_cfg, model.enc_cfg, mc,
+        batch=BATCH, frames=FRAMES, text_len=TEXT_LEN,
+        freeze_llm=True, freeze_encoder=True, use_peft=False,
+    )
+    lora = flops_mod.tasu_step_flops(
+        model.llm_cfg, model.enc_cfg, mc,
+        batch=BATCH, frames=FRAMES, text_len=TEXT_LEN,
+        freeze_llm=True, freeze_encoder=True, use_peft=True,
+    )
+    assert lora["bwd"] == pytest.approx(frozen["bwd"])
