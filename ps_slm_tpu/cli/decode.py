@@ -165,7 +165,6 @@ def _decode_continuous(
     import time
 
     from ps_slm_tpu.data.dataset import Collator, MultiTaskDataset
-    from ps_slm_tpu.inference.continuous import ContinuousGreedyDecoder
 
     speculative = tc.speculative_ctc
     if speculative and encoder_tokenizer is None:
@@ -187,7 +186,7 @@ def _decode_continuous(
     stats = {"audio": 0.0, "n": 0}
 
     def requests():
-        from ps_slm_tpu.inference.generate import ctc_transcript_ids
+        from ps_slm_tpu.inference import ctc_draft
 
         for i, s in enumerate(ds):
             if i % num_hosts != host_id:
@@ -204,50 +203,16 @@ def _decode_continuous(
             )
             stats["n"] += 1
             if speculative:
-                (row,) = ctc_transcript_ids(model, model.params, jb)
-                draft = tokenizer.encode(encoder_tokenizer.decode(row))
+                draft = ctc_draft(model, jb, encoder_tokenizer, tokenizer)
                 yield s.key, (jb, draft, len(draft))
             else:
                 yield s.key, jb
 
-    if speculative:
-        from ps_slm_tpu.inference.continuous_spec import (
-            ContinuousSpeculativeDecoder,
-        )
+    from ps_slm_tpu.inference import make_pool_decoder
 
-        dec = ContinuousSpeculativeDecoder(
-            model, model.params,
-            num_slots=tc.decode_slots,
-            prefill_len=dc.eval_max_frame_length,
-            max_new_tokens=tc.max_new_tokens,
-            eos_token_id=tokenizer.eos_token_id,
-            window=tc.spec_window,
-            sync_every=max(tc.decode_sync_every // tc.spec_window, 2),
-        )
-    elif tc.num_beams > 1:
-        from ps_slm_tpu.inference.continuous_beam import (
-            ContinuousBeamDecoder,
-        )
-
-        dec = ContinuousBeamDecoder(
-            model, model.params,
-            num_slots=tc.decode_slots,
-            prefill_len=dc.eval_max_frame_length,
-            max_new_tokens=tc.max_new_tokens,
-            eos_token_id=tokenizer.eos_token_id,
-            num_beams=tc.num_beams,
-            length_penalty=tc.length_penalty,
-            sync_every=tc.decode_sync_every,
-        )
-    else:
-        dec = ContinuousGreedyDecoder(
-            model, model.params,
-            num_slots=tc.decode_slots,
-            prefill_len=dc.eval_max_frame_length,
-            max_new_tokens=tc.max_new_tokens,
-            eos_token_id=tokenizer.eos_token_id,
-            sync_every=tc.decode_sync_every,
-        )
+    dec = make_pool_decoder(
+        model, tc, dc, eos_token_id=tokenizer.eos_token_id
+    )
     n_tokens = 0
     t0 = time.perf_counter()
     with open(pred_path, "w") as fpred, open(gt_path, "w") as fgt:
@@ -288,7 +253,11 @@ def _ctc_draft_kwargs(model, jbatch, encoder_tokenizer, tokenizer, window):
     drafts = [
         tokenizer.encode(encoder_tokenizer.decode(r)) for r in rows
     ]
+    # bucket the draft width: it is part of the jit signature of the
+    # speculative decode loop, so an exact per-batch max would recompile
+    # the whole loop on nearly every batch (draft_lens masks the padding)
     d = max(max((len(x) for x in drafts), default=1), 1)
+    d = -(-d // 64) * 64
     ids = np.zeros((len(drafts), d), np.int32)
     lens = np.zeros((len(drafts),), np.int32)
     for i, x in enumerate(drafts):

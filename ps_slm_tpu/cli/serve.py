@@ -43,7 +43,16 @@ def main(argv=None, *, stdin=None, stdout=None):
     req_path = None
     rest = []
     for a in argv:
-        if not a.startswith("++") and "=" not in a:
+        if a.startswith(("+", "-")):
+            rest.append(a)
+        elif "=" not in a or os.path.exists(a):
+            # a positional requests file — existence check lets paths
+            # containing '=' through; a non-existent '='-arg is a config
+            # override
+            if req_path is not None:
+                raise ValueError(
+                    f"multiple request files given: {req_path!r} and {a!r}"
+                )
             req_path = a
         else:
             rest.append(a)
@@ -99,72 +108,54 @@ def main(argv=None, *, stdin=None, stdout=None):
 
     source = open(req_path) if req_path else (stdin or sys.stdin)
 
+    def emit_error(key, err):
+        stdout.write(json.dumps({"key": key, "error": err}) + "\n")
+        stdout.flush()
+
     def requests():
-        from ps_slm_tpu.inference.generate import ctc_transcript_ids
+        from ps_slm_tpu.inference import ctc_draft
 
         for i, line in enumerate(source):
             line = line.strip()
             if not line:
                 continue
-            item = json.loads(line)
-            item.setdefault("target", "")
-            item.setdefault("task", "ASR")
-            sample = builder._build(item, prompt_rng, i)
-            if sample is None:
-                stdout.write(json.dumps(
-                    {"key": item["key"], "error": "filtered (length)"}
-                ) + "\n")
-                stdout.flush()
+            # a long-running serving loop must survive one bad request
+            # (malformed JSON, unknown task, unreadable audio): emit a
+            # per-request error — the contract the length filter below
+            # already follows — and keep the pool draining
+            key = f"<line {i}>"
+            try:
+                item = json.loads(line)
+                key = item.get("key", key)
+                item.setdefault("target", "")
+                item.setdefault("task", "ASR")
+                sample = builder._build(item, prompt_rng, i)
+                if sample is None:
+                    emit_error(key, "filtered (length)")
+                    continue
+                hb = coll([sample])
+                jb = {
+                    k: jnp.asarray(v) for k, v in hb.items()
+                    if isinstance(v, np.ndarray)
+                }
+                if tc.speculative_ctc:
+                    draft = ctc_draft(
+                        model, jb, encoder_tokenizer, tokenizer
+                    )
+            except Exception as e:  # noqa: BLE001 — per-request isolation
+                logger.warning(f"bad request {key}: {e}")
+                emit_error(key, f"{type(e).__name__}: {e}")
                 continue
-            hb = coll([sample])
-            jb = {
-                k: jnp.asarray(v) for k, v in hb.items()
-                if isinstance(v, np.ndarray)
-            }
             if tc.speculative_ctc:
-                (row,) = ctc_transcript_ids(model, model.params, jb)
-                draft = tokenizer.encode(encoder_tokenizer.decode(row))
                 yield sample.key, (jb, draft, len(draft))
             else:
                 yield sample.key, jb
 
-    if tc.speculative_ctc:
-        from ps_slm_tpu.inference.continuous_spec import (
-            ContinuousSpeculativeDecoder,
-        )
+    from ps_slm_tpu.inference import make_pool_decoder
 
-        dec = ContinuousSpeculativeDecoder(
-            model, model.params, num_slots=tc.decode_slots,
-            prefill_len=dc.eval_max_frame_length,
-            max_new_tokens=tc.max_new_tokens,
-            eos_token_id=tokenizer.eos_token_id,
-            window=tc.spec_window,
-            sync_every=max(tc.decode_sync_every // tc.spec_window, 2),
-        )
-    elif tc.num_beams > 1:
-        from ps_slm_tpu.inference.continuous_beam import (
-            ContinuousBeamDecoder,
-        )
-
-        dec = ContinuousBeamDecoder(
-            model, model.params, num_slots=tc.decode_slots,
-            prefill_len=dc.eval_max_frame_length,
-            max_new_tokens=tc.max_new_tokens,
-            eos_token_id=tokenizer.eos_token_id,
-            num_beams=tc.num_beams,
-            length_penalty=tc.length_penalty,
-            sync_every=tc.decode_sync_every,
-        )
-    else:
-        from ps_slm_tpu.inference.continuous import ContinuousGreedyDecoder
-
-        dec = ContinuousGreedyDecoder(
-            model, model.params, num_slots=tc.decode_slots,
-            prefill_len=dc.eval_max_frame_length,
-            max_new_tokens=tc.max_new_tokens,
-            eos_token_id=tokenizer.eos_token_id,
-            sync_every=tc.decode_sync_every,
-        )
+    dec = make_pool_decoder(
+        model, tc, dc, eos_token_id=tokenizer.eos_token_id
+    )
 
     n = 0
     for key, toks in dec.run(requests()):

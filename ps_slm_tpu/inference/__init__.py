@@ -31,3 +31,49 @@ def validate_pool_decode_knobs(tc, mode: str) -> None:
             "speculative_ctc requires num_beams=1 (draft verification is "
             "defined against greedy decode)"
         )
+
+
+def make_pool_decoder(model, tc, dc, *, eos_token_id: int):
+    """Slot-pool decoder selected by the decode knobs (speculative_ctc >
+    num_beams>1 > greedy).  Shared by cli/decode.py and cli/serve.py so
+    pool construction — including the spec-pool sync_every heuristic —
+    cannot drift between the two entries."""
+    common = dict(
+        num_slots=tc.decode_slots,
+        prefill_len=dc.eval_max_frame_length,
+        max_new_tokens=tc.max_new_tokens,
+        eos_token_id=eos_token_id,
+    )
+    if tc.speculative_ctc:
+        from ps_slm_tpu.inference.continuous_spec import (
+            ContinuousSpeculativeDecoder,
+        )
+
+        return ContinuousSpeculativeDecoder(
+            model, model.params, window=tc.spec_window,
+            sync_every=max(tc.decode_sync_every // tc.spec_window, 2),
+            **common,
+        )
+    if tc.num_beams > 1:
+        from ps_slm_tpu.inference.continuous_beam import ContinuousBeamDecoder
+
+        return ContinuousBeamDecoder(
+            model, model.params, num_beams=tc.num_beams,
+            length_penalty=tc.length_penalty,
+            sync_every=tc.decode_sync_every, **common,
+        )
+    from ps_slm_tpu.inference.continuous import ContinuousGreedyDecoder
+
+    return ContinuousGreedyDecoder(
+        model, model.params, sync_every=tc.decode_sync_every, **common,
+    )
+
+
+def ctc_draft(model, jbatch, encoder_tokenizer, tokenizer):
+    """Single-request CTC draft re-tokenized into the LLM vocab (the
+    speculative pools' draft source; shared by cli/decode.py and
+    cli/serve.py)."""
+    from ps_slm_tpu.inference.generate import ctc_transcript_ids
+
+    (row,) = ctc_transcript_ids(model, model.params, jbatch)
+    return tokenizer.encode(encoder_tokenizer.decode(row))

@@ -384,11 +384,11 @@ def _merged_fn(model):
     return fn
 
 
-def ctc_transcript_ids(model, params, batch) -> "tuple":
+def ctc_transcript_ids(model, params, batch) -> "list":
     """CTC argmax -> collapse -> blank-drop per row (the SenseVoice decode
     rule, SenseVoice.py:869-887), computed from the same front end the
-    merge uses.  Returns (ids [B, T] numpy, lens [B]) in encoder vocab —
-    the free draft for speculative decoding."""
+    merge uses.  Returns a list of B variable-length encoder-vocab token
+    lists — the free draft for speculative decoding."""
     import numpy as np
 
     fn = getattr(model, "_ctc_ids_jit", None)
@@ -435,9 +435,11 @@ def generate(
 
     ``draft_ids``/``draft_lens`` (LLM-vocab) switch greedy decoding to the
     draft-verified speculative loop (inference/speculative.py) — output is
-    bit-identical, just fewer LLM forwards when drafts match.
+    bit-identical, just fewer LLM forwards when drafts match.  Sampling
+    passes an explicit PRNG via ``key`` (alias ``rng``); without one,
+    ``do_sample=True`` falls back to a fixed PRNGKey(0) stream.
     """
-    kwargs.pop("rng", None)
+    key = kwargs.pop("key", kwargs.pop("rng", None))
     merged = _merged_fn(model)(params, batch)
     num_beams = kwargs.pop("num_beams", 4)
     max_new_tokens = kwargs.pop("max_new_tokens", 200)
@@ -446,6 +448,20 @@ def generate(
     draft_ids = kwargs.pop("draft_ids", None)
     draft_lens = kwargs.pop("draft_lens", None)
     if draft_ids is not None and num_beams == 1:
+        # the speculative loop is exactly greedy; knobs that would change
+        # the output must not be silently dropped (the CLIs validate this
+        # too, but the API must hold its own contract)
+        if (
+            kwargs.get("do_sample")
+            or repetition_penalty != 1.0
+            or kwargs.get("temperature", 1.0) != 1.0
+            or kwargs.get("min_length", 1) > 1
+        ):
+            raise ValueError(
+                "draft-speculative decoding is bit-identical to plain "
+                "greedy; do_sample/temperature/repetition_penalty/"
+                "min_length are not supported with draft_ids"
+            )
         from ps_slm_tpu.inference.speculative import (
             speculative_greedy_generate,
         )
@@ -471,7 +487,7 @@ def generate(
     return greedy_generate(
         params["llm"], model.llm_cfg,
         merged.embeds, merged.attention_mask, merged.position_ids,
-        kwargs.pop("key", None),
+        key,
         max_new_tokens=max_new_tokens, eos_token_id=eos,
         do_sample=kwargs.pop("do_sample", False),
         temperature=kwargs.pop("temperature", 1.0),

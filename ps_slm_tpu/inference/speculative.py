@@ -54,6 +54,11 @@ def speculative_greedy_generate(
     Returns (tokens [B, max_new_tokens] EOS-filled, n_forwards scalar —
     the number of LLM forwards actually run, for speedup accounting).
     """
+    if window < 2:
+        # a 1-token window has no draft lanes (k-1 = 0): the loop would
+        # gather from zero-width arrays; the CLIs validate this, the API
+        # must too (ADVICE r2)
+        raise ValueError("speculative window must be >= 2")
     b, s, _ = inputs_embeds.shape
     k = window
     capacity = s + max_new_tokens + k  # headroom for a partially-used window
@@ -170,7 +175,7 @@ def speculative_greedy_generate(
         # but only on a genuine mismatch (a fully-matched window has no
         # rejected token to skip)
         mismatched = (m < (k - 1)) & jnp.take_along_axis(
-            dvalid, jnp.minimum(m, k - 2)[:, None], axis=1
+            dvalid, jnp.minimum(m, max(k - 2, 0))[:, None], axis=1
         )[:, 0]
         # bonus recovery: the emitted bonus token ends the window, and when
         # the draft's next token equals it (always true for an oracle draft

@@ -45,7 +45,8 @@ def dequantize_kernel(node: Dict[str, jnp.ndarray], dtype=jnp.float32):
 
 
 def q8_matmul(x: jnp.ndarray, node: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """y = (x @ q8) * scale, computed in x.dtype."""
+    """y = (x @ q8) * scale, computed in x.dtype — THE quantized-matmul
+    recipe; ``qwen2._linear`` calls this (single source of truth)."""
     y = x @ node["q8"].astype(x.dtype)
     return y * node["scale"].astype(x.dtype)
 

@@ -275,7 +275,9 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 def _linear(x, p, lora_ctx=None):
     if "q8" in p:  # int8 weight-only (ps_slm_tpu.models.quantization)
-        y = (x @ p["q8"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+        from ps_slm_tpu.models.quantization import q8_matmul
+
+        y = q8_matmul(x, p)
     else:
         y = x @ p["kernel"]
     if "bias" in p:

@@ -467,6 +467,16 @@ def import_reference_checkpoint(
                     for lk in ("lora_a", "lora_b", "lora_scale"):
                         if lk in old:
                             node[lk] = old[lk]
+            if any(
+                isinstance(n, dict) and "q8" in n
+                for n in old_layers.values()
+            ):
+                # the factory quantized (train_config.quantization); keep
+                # the imported weights int8 too — otherwise the knob is
+                # silently dropped on every checkpointed serve/decode
+                from ps_slm_tpu.models.quantization import quantize_llm
+
+                new_llm = quantize_llm(new_llm)
             model.params["llm"] = new_llm
             loaded += [f"llm.{k}" for k in llm_tensors]
         except KeyError as e:

@@ -399,3 +399,40 @@ def test_serve_cli_beam_pool(fixtures, tmp_path):
     results = [json.loads(l) for l in out.getvalue().splitlines()]
     got = {r["key"]: r["text"] for r in results}
     assert got == want
+
+
+def test_serve_cli_survives_bad_requests(fixtures, tmp_path):
+    """A long-running serving loop must not die on one bad request:
+    malformed JSON, unknown audio path, and missing keys each produce a
+    per-request {"error": ...} line while every good request is served."""
+    import io
+
+    from ps_slm_tpu.cli.serve import main
+
+    rows = (fixtures / "test" / "multitask.jsonl").read_text().splitlines()
+    good = [json.loads(r) for r in rows[:3]]
+    reqs = tmp_path / "requests.jsonl"
+    lines = [
+        json.dumps({"key": good[0]["key"], "path": good[0]["path"]}),
+        "{not json at all",
+        json.dumps({"key": "missing", "path": str(tmp_path / "nope.wav")}),
+        json.dumps({"key": good[1]["key"], "path": good[1]["path"]}),
+        json.dumps({"key": good[2]["key"], "path": good[2]["path"]}),
+    ]
+    reqs.write_text("\n".join(lines) + "\n")
+
+    out = io.StringIO()
+    rc = main(_common_args(fixtures) + [
+        "++train_config.num_beams=1",
+        "++train_config.max_new_tokens=4",
+        "++train_config.decode_slots=2",
+        "++dataset_config.eval_max_frame_length=64",
+        str(reqs),
+    ], stdout=out)
+    assert rc == 0
+    results = [json.loads(l) for l in out.getvalue().splitlines()]
+    served = {r["key"]: r for r in results if "text" in r}
+    errors = [r for r in results if "error" in r]
+    assert set(served) == {g["key"] for g in good}
+    assert len(errors) == 2
+    assert any(r["key"] == "missing" for r in errors)

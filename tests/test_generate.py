@@ -201,3 +201,80 @@ def test_repetition_penalty_reduces_repeats():
     # deterministic + different from base when base repeats
     if max(max_repeat(r) for r in base) > 1:
         assert not np.array_equal(base, pen)
+
+
+def test_generate_threads_sampling_key():
+    """generate() must pass the caller's PRNG key through to the sampler
+    (both 'key' and legacy 'rng' spellings): different keys -> different
+    samples, same key twice -> identical; no silent PRNGKey(0) reuse."""
+    from types import SimpleNamespace
+
+    from ps_slm_tpu.inference.generate import generate
+
+    cfg, params = _model(vocab=64)
+    emb, mask, pos = _inputs(cfg, params)
+    model = SimpleNamespace(llm_cfg=cfg)
+    merged = SimpleNamespace(
+        embeds=emb, attention_mask=mask, position_ids=pos,
+    )
+    model._merged_jit = lambda p, b: merged
+    p = {"llm": params}
+    kw = dict(
+        eos_token_id=EOS, num_beams=1, max_new_tokens=8,
+        do_sample=True, temperature=1.5, top_p=1.0,
+    )
+    a1 = np.asarray(generate(model, p, {}, key=jax.random.PRNGKey(1), **kw))
+    a2 = np.asarray(generate(model, p, {}, rng=jax.random.PRNGKey(1), **kw))
+    np.testing.assert_array_equal(a1, a2)  # rng alias == key
+    outs = [
+        np.asarray(generate(
+            model, p, {}, key=jax.random.PRNGKey(k), **kw
+        ))
+        for k in range(2, 8)
+    ]
+    assert any(not np.array_equal(a1, o) for o in outs), (
+        "sampling ignored the provided key"
+    )
+
+
+def test_generate_rejects_knobs_with_draft():
+    """The draft-speculative branch is exactly greedy; output-changing
+    knobs must raise instead of being silently dropped (API-level twin of
+    the CLI validation)."""
+    from types import SimpleNamespace
+
+    import pytest as _pytest
+
+    from ps_slm_tpu.inference.generate import generate
+
+    cfg, params = _model()
+    emb, mask, pos = _inputs(cfg, params)
+    model = SimpleNamespace(llm_cfg=cfg)
+    merged = SimpleNamespace(
+        embeds=emb, attention_mask=mask, position_ids=pos,
+    )
+    model._merged_jit = lambda p, b: merged
+    p = {"llm": params}
+    draft = dict(
+        draft_ids=np.zeros((2, 4), np.int32),
+        draft_lens=np.zeros((2,), np.int32),
+    )
+    with _pytest.raises(ValueError, match="bit-identical"):
+        generate(model, p, {}, eos_token_id=EOS, num_beams=1,
+                 repetition_penalty=1.5, **draft)
+    with _pytest.raises(ValueError, match="bit-identical"):
+        generate(model, p, {}, eos_token_id=EOS, num_beams=1,
+                 do_sample=True, **draft)
+
+
+def test_speculative_window_1_raises():
+    from ps_slm_tpu.inference.speculative import speculative_greedy_generate
+
+    cfg, params = _model()
+    emb, mask, pos = _inputs(cfg, params)
+    with pytest.raises(ValueError, match="window"):
+        speculative_greedy_generate(
+            params, cfg, emb, mask, pos,
+            jnp.zeros((2, 4), jnp.int32), jnp.zeros((2,), jnp.int32),
+            max_new_tokens=4, eos_token_id=EOS, window=1,
+        )

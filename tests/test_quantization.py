@@ -150,3 +150,44 @@ def test_qlora_training_only_moves_adapters():
         np.asarray(state.params["llm"]["layers"]["q_proj"]["lora_b"]),
         lora_b_before,
     )
+
+
+def test_quantization_survives_checkpoint_import(tmp_path):
+    """import_reference_checkpoint replaces params['llm'] wholesale; when
+    the factory quantized (train_config.quantization), the imported
+    weights must be re-quantized too — otherwise serving a checkpoint
+    silently drops the int8 knob."""
+    from ps_slm_tpu.config import ModelConfig, TrainConfig
+    from ps_slm_tpu.models.tasu import model_factory
+    from ps_slm_tpu.training.checkpoint import (
+        export_reference_checkpoint, import_reference_checkpoint,
+    )
+
+    def build(quant):
+        tc = TrainConfig(
+            ctc_posterior=True, gt_emb=True, freeze_llm=True,
+            freeze_encoder=True, quantization=quant,
+        )
+        mc = ModelConfig(
+            llm_path="", encoder_path=None,
+            encoder_projector="linear-silu",
+            encoder_dim=11, llm_dim=64, encoder_projector_ds_rate=1,
+        )
+        return model_factory(tc, mc, rng=jax.random.PRNGKey(0))
+
+    src = build(False)
+    path = str(tmp_path / "pytorch_model.bin")
+    export_reference_checkpoint(src, path)
+
+    dst = build(True)
+    assert "q8" in dst.params["llm"]["layers"]["q_proj"]
+    import_reference_checkpoint(dst, path, jnp.float32)
+    layers = dst.params["llm"]["layers"]
+    assert "q8" in layers["q_proj"], "int8 dropped by checkpoint import"
+    assert "kernel" not in layers["q_proj"]
+    # the imported (quantized) weights match the source within int8 error
+    from ps_slm_tpu.models.quantization import dequantize_kernel
+
+    got = np.asarray(dequantize_kernel(layers["q_proj"]))
+    want = np.asarray(src.params["llm"]["layers"]["q_proj"]["kernel"])
+    assert np.max(np.abs(got - want)) < np.max(np.abs(want)) / 64
