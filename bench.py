@@ -37,9 +37,37 @@ STEPS = 15              # enough timed steps to average out relay jitter
 WARMUP = 3
 
 
+def _devices_or_die(timeout_s=300):
+    """Probe backend init with a watchdog: when the axon relay tunnel is
+    down, ``jax.devices()`` blocks forever in the plugin's retry loop, and
+    the driver would record a silent hang instead of a diagnosable failure.
+    """
+    import threading
+
+    import jax
+
+    out = {}
+    t = threading.Thread(
+        target=lambda: out.setdefault("devices", jax.devices()), daemon=True
+    )
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(
+            f"bench.py: backend init did not complete in {timeout_s}s — "
+            "TPU relay tunnel down? (jax.devices() is stuck in the axon "
+            "plugin retry loop)",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    return out["devices"]
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    devices = _devices_or_die()
 
     from ps_slm_tpu.config import ModelConfig, TrainConfig
     from ps_slm_tpu.models.tasu import model_factory, trainable_mask
@@ -47,7 +75,7 @@ def main():
     from ps_slm_tpu.training.step import make_train_step
     from ps_slm_tpu.training.train_state import build_optimizer, create_train_state
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = devices[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     if on_tpu:
@@ -131,7 +159,7 @@ def main():
     assert np.isfinite(float(metrics["loss"]))
     dt = time.perf_counter() - t0
 
-    n_chips = len(jax.devices())
+    n_chips = len(devices)
     audio_sec_per_step = batch * frames * 0.060  # 60 ms per LFR frame
     rate = audio_sec_per_step * STEPS / dt / n_chips
 
