@@ -112,10 +112,45 @@ def main(argv=None, *, stdin=None, stdout=None):
         stdout.write(json.dumps({"key": key, "error": err}) + "\n")
         stdout.flush()
 
+    # Non-blocking admission: a background thread does the (blocking) line
+    # reads, and the generator below yields ``None`` — the pools' "nothing
+    # ready right now" signal — whenever the queue is empty but decodes are
+    # in flight.  Without this, the pool's refill loop blocked inside
+    # ``next(requests())`` on a slow/streaming stdin with free slots,
+    # stalling already-admitted utterances until enough requests arrived
+    # (contradicting the completion-order streaming contract above).
+    import queue as _queue
+    import threading
+
+    lines_q: _queue.Queue = _queue.Queue()
+    _EOF = object()
+
+    def _reader():
+        try:
+            for line in source:
+                lines_q.put(line)
+        finally:
+            lines_q.put(_EOF)
+
+    threading.Thread(target=_reader, daemon=True, name="serve-reader").start()
+    flow = {"admitted": 0, "emitted": 0}
+
     def requests():
         from ps_slm_tpu.inference import ctc_draft
 
-        for i, line in enumerate(source):
+        i = 0
+        while True:
+            idle = flow["admitted"] == flow["emitted"]
+            try:
+                # idle pool: block until work (or EOF) arrives; otherwise
+                # hand control back to the pool immediately
+                line = lines_q.get(block=idle)
+            except _queue.Empty:
+                yield None
+                continue
+            if line is _EOF:
+                return
+            i += 1
             line = line.strip()
             if not line:
                 continue
@@ -146,6 +181,7 @@ def main(argv=None, *, stdin=None, stdout=None):
                 logger.warning(f"bad request {key}: {e}")
                 emit_error(key, f"{type(e).__name__}: {e}")
                 continue
+            flow["admitted"] += 1
             if tc.speculative_ctc:
                 yield sample.key, (jb, draft, len(draft))
             else:
@@ -164,6 +200,7 @@ def main(argv=None, *, stdin=None, stdout=None):
         ) + "\n")
         stdout.flush()
         n += 1
+        flow["emitted"] += 1
     if req_path:
         source.close()
     logger.info(f"served {n} requests")

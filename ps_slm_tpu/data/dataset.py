@@ -161,6 +161,10 @@ class MultiTaskDataset:
         task = item.get("task", "ASR")
 
         raw_gt = item.get("GT", "")
+        if not isinstance(raw_gt, str):
+            # explicit JSON null / numeric GT: degrade like the reference's
+            # blanket try/except did (GT only feeds the _gt scoring file)
+            raw_gt = "" if raw_gt is None else str(raw_gt)
         # the reference unescapes GT via unicode_escape unconditionally
         # (speech_dataset_large.py:99-105), which is right for pure-ASCII
         # manifests carrying literal \uXXXX escapes but mojibakes real

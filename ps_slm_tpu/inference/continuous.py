@@ -29,6 +29,7 @@ bit-identical to the static ``beam_generate``).
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, Iterator, Optional, Tuple
 
 import jax
@@ -175,9 +176,18 @@ def _padded_prefills(model, params, rows, prefill_len):
             sig = ("singleton", i)  # non-array payloads: no stacking
         groups.setdefault(sig, []).append(i)
     for idxs in groups.values():
-        merged = _merged_rows(model, params, [rows[i] for i in idxs])
-        for j, m in zip(idxs, merged):
-            padded[j] = _left_pad_merged(m, prefill_len)
+        # power-of-two chunks: the stacked B is part of the jit signature,
+        # and ragged refills otherwise compile one front-half program per
+        # distinct group size (up to num_slots variants at 1.5B, tens of
+        # seconds each) — same bucketing discipline as _insert_slots
+        i = 0
+        while i < len(idxs):
+            k = 1 << ((len(idxs) - i).bit_length() - 1)
+            chunk = idxs[i: i + k]
+            merged = _merged_rows(model, params, [rows[j] for j in chunk])
+            for j, m in zip(chunk, merged):
+                padded[j] = _left_pad_merged(m, prefill_len)
+            i += k
     return padded
 
 
@@ -326,12 +336,20 @@ class ContinuousGreedyDecoder:
 
         while True:
             pending = []
+            got_none = False
             while free and not exhausted:
                 try:
-                    key, batch = next(batches)
+                    item = next(batches)
                 except StopIteration:
                     exhausted = True
                     break
+                if item is None:
+                    # live-source protocol (cli/serve.py): nothing ready
+                    # right now — step the in-flight slots instead of
+                    # blocking admission on a slow request stream
+                    got_none = True
+                    break
+                key, batch = item
                 pending.append((free.pop(), key, batch))
             if pending:
                 self._refill_many(pending)
@@ -342,6 +360,10 @@ class ContinuousGreedyDecoder:
             if not busy and inflight is None:
                 if exhausted:
                     return
+                if got_none:
+                    # defensive: an idle pool over a live source that has
+                    # nothing ready must not spin hot on next()
+                    time.sleep(0.001)
                 continue
 
             # dispatch chunk k+1 before harvesting chunk k: the host sync

@@ -24,6 +24,7 @@ are finalized on device and refilled immediately.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, Iterator, Optional, Tuple
 
 import jax
@@ -391,12 +392,20 @@ class ContinuousBeamDecoder:
 
         while True:
             pending = []
+            got_none = False
             while free and not exhausted:
                 try:
-                    key, batch = next(batches)
+                    item = next(batches)
                 except StopIteration:
                     exhausted = True
                     break
+                if item is None:
+                    # live-source protocol (cli/serve.py): nothing ready
+                    # right now — step the in-flight slots instead of
+                    # blocking admission on a slow request stream
+                    got_none = True
+                    break
+                key, batch = item
                 pending.append((free.pop(), key, batch))
             if pending:
                 self._refill_many(pending)
@@ -407,6 +416,10 @@ class ContinuousBeamDecoder:
             if not busy and inflight is None:
                 if exhausted:
                     return
+                if got_none:
+                    # defensive: an idle pool over a live source that has
+                    # nothing ready must not spin hot on next()
+                    time.sleep(0.001)
                 continue
 
             nxt = None

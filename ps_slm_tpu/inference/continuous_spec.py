@@ -12,6 +12,7 @@ draft cursors ride the pool state; output per request is identical to
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, Iterator, Optional, Tuple
 
 import jax
@@ -330,12 +331,20 @@ class ContinuousSpeculativeDecoder:
 
         while True:
             pending = []
+            got_none = False
             while free and not exhausted:
                 try:
-                    key, (batch, draft, dlen) = next(batches)
+                    item = next(batches)
                 except StopIteration:
                     exhausted = True
                     break
+                if item is None:
+                    # live-source protocol (cli/serve.py): nothing ready
+                    # right now — step the in-flight slots instead of
+                    # blocking admission on a slow request stream
+                    got_none = True
+                    break
+                key, (batch, draft, dlen) = item
                 pending.append((free.pop(), key, (batch, draft, dlen)))
             if pending:
                 self._refill_many(pending)
@@ -346,6 +355,10 @@ class ContinuousSpeculativeDecoder:
             if not busy and inflight is None:
                 if exhausted:
                     return
+                if got_none:
+                    # defensive: an idle pool over a live source that has
+                    # nothing ready must not spin hot on next()
+                    time.sleep(0.001)
                 continue
 
             # provably-done skip (see ContinuousGreedyDecoder.run): every

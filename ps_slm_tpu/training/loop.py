@@ -135,6 +135,7 @@ def train(
         for epoch in range(train_config.num_epochs):
             need_skip = max(resume_step - global_step, 0)
             src = None
+            skip_capable = False
             if need_skip:
                 import inspect
 
@@ -147,18 +148,47 @@ def train(
                     # lengths + uncollated marker batches (data/dataset.py
                     # GlobalBatcher.skip_batches)
                     src = train_batches_fn(epoch, skip_batches=need_skip)
+                    skip_capable = True
             if src is None:
                 src = train_batches_fn(epoch)
             if need_skip:
                 src = iter(src)
+                first = None
+                saw_any = False
                 while global_step < resume_step:
                     try:
-                        next(src)  # marker if skip-capable, else discarded
+                        b = next(src)
                     except StopIteration:
                         src = None
                         break
-                    global_step += 1
-                if src is not None:
+                    saw_any = True
+                    if skip_capable and not (
+                        isinstance(b, dict) and b.get("batch_skipped")
+                    ):
+                        # a skip-capable source that skipped internally
+                        # (no marker dicts): b is the first real post-skip
+                        # batch — counting it as skipped would silently
+                        # double-skip real data.  Its arrival also proves
+                        # the source skipped exactly need_skip batches.
+                        first = b
+                        global_step = resume_step
+                        break
+                    global_step += 1  # marker, or slow-path decoded batch
+                if src is None and skip_capable and not saw_any:
+                    # internal-skip source that exhausted without yielding
+                    # anything: zero information on how many batches this
+                    # epoch held (markers would have said), so re-count the
+                    # undoctored epoch stream — slow but exact, and only
+                    # this epoch pays it
+                    src = iter(train_batches_fn(epoch))
+                    while global_step < resume_step:
+                        try:
+                            next(src)
+                        except StopIteration:
+                            src = None
+                            break
+                        global_step += 1
+                if src is not None and first is None:
                     # peek: an epoch whose batches were ALL consumed before
                     # the checkpoint must not run (and log stats for) a
                     # zero-batch epoch
@@ -166,8 +196,8 @@ def train(
                         first = next(src)
                     except StopIteration:
                         src = None
-                    else:
-                        src = itertools.chain([first], src)
+                if src is not None:
+                    src = itertools.chain([first], src)
                 if src is None:
                     continue  # epoch fully consumed before the checkpoint
 

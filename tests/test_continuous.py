@@ -121,3 +121,55 @@ def test_continuous_stop_after_caps_and_refills():
     assert set(got) == set(expected)
     for k in expected:
         np.testing.assert_array_equal(got[k], expected[k]), k
+
+
+def test_continuous_live_source_none_keeps_stepping():
+    """Live-source protocol (cli/serve.py): a source yielding ``None`` means
+    "nothing ready right now" — the pool must keep stepping in-flight slots
+    (and complete them) instead of blocking admission until more requests
+    arrive.  Regression: the refill loop used to unconditionally consume
+    ``next(batches)``, stalling admitted utterances on a slow stream."""
+    cfg, llm = _model()
+    reqs = _requests(cfg, llm, n=2)
+
+    from ps_slm_tpu.inference.continuous import _left_pad_merged
+
+    expected = {}
+    for key, merged in reqs:
+        emb, mask, pos = _left_pad_merged(merged, PREFILL)
+        toks = np.asarray(greedy_generate(
+            llm, cfg, emb, mask, pos,
+            max_new_tokens=MAX_NEW, eos_token_id=EOS,
+        ))[0]
+        cut = np.where(toks == EOS)[0]
+        expected[key] = toks[: cut[0]] if len(cut) else toks
+
+    model = SimpleNamespace(llm_cfg=cfg)
+    merged_by_key = dict(reqs)
+    model._merged_jit = lambda params, batch: merged_by_key[batch["key"]]
+    dec = ContinuousGreedyDecoder(
+        model, {"llm": llm}, num_slots=4, prefill_len=PREFILL,
+        max_new_tokens=MAX_NEW, eos_token_id=EOS, sync_every=3,
+    )
+
+    flow = {"done": 0, "nones": 0}
+
+    def live_source():
+        yield reqs[0][0], {"key": reqs[0][0]}
+        # the second request only "arrives" after the first completes;
+        # until then the source reports nothing-ready
+        while flow["done"] == 0:
+            flow["nones"] += 1
+            assert flow["nones"] < 1000, "pool stopped making progress"
+            yield None
+        yield reqs[1][0], {"key": reqs[1][0]}
+
+    got = {}
+    for key, toks in dec.run(live_source()):
+        flow["done"] += 1
+        got[key] = toks
+
+    assert flow["nones"] > 0, "source was never polled while in flight"
+    assert set(got) == set(expected)
+    for k in expected:
+        np.testing.assert_array_equal(got[k], expected[k]), k

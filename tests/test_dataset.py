@@ -285,6 +285,16 @@ def test_gt_unicode_handling(tmp_path):
     assert got["u0"] == "你好"  # literal \uXXXX escapes decoded
     assert got["u1"] == "你好"  # real UTF-8 untouched
 
+    # non-string GT (explicit JSON null / number) degrades instead of
+    # crashing the stream — GT only feeds the _gt scoring file
+    for bad_gt, want in ((None, ""), (7, "7")):
+        rows[0]["GT"] = bad_gt
+        with open(split_dir / "multitask.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        got = {s.key: s.gt for s in MultiTaskDataset(cfg, StubTokenizer(), "train")}
+        assert got["u0"] == want
+
 
 def test_audio_seconds_metric_masks_padded_rows(tmp_path):
     """The collator reports true pre-pad audio seconds; the train loop's

@@ -161,3 +161,51 @@ def test_resume_skips_whole_epochs(tmp_path):
         jax.tree_util.tree_leaves(state_out.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_internal_skip_source_not_double_skipped(tmp_path):
+    """A skip-capable source that honors ``skip_batches`` INTERNALLY
+    (yielding real post-skip batches, no marker dicts) must not have the
+    loop discard those real batches as if they were markers — resumed
+    training must still bit-equal the straight run."""
+    from ps_slm_tpu.training.checkpoint import (
+        restore_train_state, save_train_state,
+    )
+
+    def batches_internal_skip(epoch, skip_batches=0):
+        it = _batches(epoch)
+        for _ in range(skip_batches):
+            next(it, None)
+        return it
+
+    lc = LogConfig(log_interval=100)
+
+    tc, mc = _configs(num_epochs=2)
+    model, trainable, tx, state = _fresh(tc, mc)
+    state_straight, _ = train(
+        model, state, tx, tc, lc, batches_internal_skip, None,
+        trainable=trainable, mesh=_mesh(),
+    )
+
+    tc1, _ = _configs(num_epochs=1)
+    model2, trainable2, tx2, state2 = _fresh(tc1, mc)
+    state_mid, _ = train(
+        model2, state2, tx2, tc1, lc, batches_internal_skip, None,
+        trainable=trainable2, mesh=_mesh(),
+    )
+    save_train_state(str(tmp_path / "state"), state_mid)
+
+    tc2, _ = _configs(num_epochs=2)
+    model3, trainable3, tx3, state3 = _fresh(tc2, mc)
+    state3 = restore_train_state(str(tmp_path / "state"), state3)
+    state_resumed, _ = train(
+        model3, state3, tx3, tc2, lc, batches_internal_skip, None,
+        trainable=trainable3, mesh=_mesh(),
+    )
+
+    assert int(state_resumed.step) == int(state_straight.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_straight.params),
+        jax.tree_util.tree_leaves(state_resumed.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
