@@ -243,7 +243,167 @@ def _pool_steps(
     return new_pool, toks, tok0_buf, tok0_fresh
 
 
-class ContinuousGreedyDecoder:
+class _SlotPoolBase:
+    """Shared run-loop driver for the greedy / beam / speculative pools.
+
+    The pools differ only in what a chunk computes on device and how
+    finished slots are harvested; everything protocol-shaped lives here so
+    a fix lands once instead of three times:
+
+    * **admission** — pull requests while slots are free.  A ``None`` from
+      a live source means "nothing ready right now" (cli/serve.py) and
+      hands control back to the step loop instead of blocking admission.
+    * **grouped refills** — batched merge front half over same-shape
+      requests (``_padded_prefills``) + power-of-two B=k prefill forwards
+      (B is part of the jit signature; B=1 prefills waste the MXU at 1.5B).
+    * **pipelined harvest** — chunk k+1 is dispatched before chunk k's
+      device->host pull, so the sync (expensive on relay backends)
+      overlaps the next chunk's compute.  A finished slot decodes at most
+      one extra chunk before its refill lands; stale columns are dropped
+      by the per-slot epoch check.
+    * **provably-done chunk skip** — the host bounds each slot's device
+      progress (insert sets 1, each launched chunk adds sync_every): when
+      every busy slot provably reached its cap and a harvest is already in
+      flight to free them, the next chunk would only churn frozen slots
+      and is skipped.  The ``inflight is not None`` guard is load-bearing:
+      a slot refilled AFTER the in-flight chunk was dispatched is absent
+      from its snapshot and is only freed one iteration later, so a fresh
+      slot always gets its chunk on the next pass instead of livelocking
+      the skip.
+
+    Subclass hooks: ``_insert_chunk`` (install k prefilled requests),
+    ``_reset_slot`` (host bookkeeping for a refilled slot),
+    ``_launch_chunk`` (dispatch one pool chunk, return device handles),
+    ``_harvest_chunk`` (pull handles, yield finished ``(key, tokens)``),
+    and optionally ``_payload_batch`` / ``_prepare_refill`` for payloads
+    that carry more than the batch dict (the speculative pool's drafts).
+    """
+
+    _supports_stop_after = True
+
+    # ---- subclass payload hooks -------------------------------------
+    def _payload_batch(self, payload):
+        """The B=1 batch dict inside a request payload."""
+        return payload
+
+    def _prepare_refill(self, slot_req):
+        """Pool-specific per-refill data, passed to ``_insert_chunk``."""
+        return None
+
+    # ---- shared machinery -------------------------------------------
+    def _refill_many(self, slot_req) -> None:
+        padded = _padded_prefills(
+            self.model, self.params,
+            [self._payload_batch(p) for _, _, p in slot_req],
+            self.prefill_len,
+        )
+        extra = self._prepare_refill(slot_req)
+        i = 0
+        while i < len(slot_req):
+            # power-of-two B=k prefills: B is part of the jit signature
+            k = 1 << ((len(slot_req) - i).bit_length() - 1)
+            chunk, ms = slot_req[i: i + k], padded[i: i + k]
+            self.pool = self._insert_chunk(
+                jnp.asarray([s for s, _, _ in chunk], jnp.int32),
+                jnp.concatenate([e for e, _, _ in ms], axis=0),
+                jnp.concatenate([m for _, m, _ in ms], axis=0),
+                jnp.concatenate([p for _, _, p in ms], axis=0),
+                k=k, extra=extra, offset=i,
+            )
+            for slot, key, _ in chunk:
+                self._reset_slot(slot, key)
+                self._epoch[slot] += 1
+                self._t_host[slot] = 1  # insert sets device t/gen = 1
+            i += k
+
+    def _finish(self, slot, cap):
+        """Free a token-accumulating slot (greedy/spec; beam finalizes on
+        device and overrides harvest entirely)."""
+        key = self._keys[slot]
+        toks = [t for t in self._toks[slot] if t != self.eos][: cap(key)]
+        self._keys[slot] = None
+        self._toks[slot] = []
+        self._free.append(slot)
+        return key, np.asarray(toks, np.int32)
+
+    def run(
+        self, batches: Iterator[Tuple[str, Dict]],
+        stop_after: Optional[Dict[str, int]] = None,
+    ) -> Iterator[Tuple[str, np.ndarray]]:
+        """Decode an iterator of ``(key, payload)`` requests; yields
+        ``(key, np.ndarray tokens)`` in completion order (EOS excluded).
+
+        ``stop_after``: optional per-request token cap (app-level early
+        stop); the slot frees at the next sync boundary, like a natural
+        EOS would.
+        """
+        if stop_after and not self._supports_stop_after:
+            raise ValueError(
+                f"{type(self).__name__} does not support stop_after"
+            )
+        batches = iter(batches)
+        self._free = list(range(self.num_slots))
+        exhausted = False
+        inflight = None  # (device payload, busy snapshot)
+
+        def cap(key):
+            if stop_after and key in stop_after:
+                return max(min(stop_after[key], self.max_new), 1)
+            return self.max_new
+
+        while True:
+            pending = []
+            got_none = False
+            while self._free and not exhausted:
+                try:
+                    item = next(batches)
+                except StopIteration:
+                    exhausted = True
+                    break
+                if item is None:
+                    # live-source protocol: nothing ready right now — step
+                    # the in-flight slots instead of blocking admission
+                    got_none = True
+                    break
+                key, payload = item
+                pending.append((self._free.pop(), key, payload))
+            if pending:
+                self._refill_many(pending)
+
+            busy = [
+                i for i in range(self.num_slots)
+                if self._keys[i] is not None
+            ]
+            if not busy and inflight is None:
+                if exhausted:
+                    return
+                if got_none:
+                    # defensive: an idle pool over a live source that has
+                    # nothing ready must not spin hot on next()
+                    time.sleep(0.001)
+                continue
+
+            all_done = all(
+                self._t_host[i] >= cap(self._keys[i]) for i in busy
+            )
+            nxt = None
+            if busy and not (all_done and inflight is not None):
+                payload = self._launch_chunk()
+                for i in busy:
+                    self._t_host[i] += self.sync_every
+                nxt = (
+                    payload,
+                    [(i, self._keys[i], self._epoch[i]) for i in busy],
+                )
+
+            if inflight is not None:
+                payload, snapshot = inflight
+                yield from self._harvest_chunk(payload, snapshot, cap)
+
+            inflight = nxt
+
+
+class ContinuousGreedyDecoder(_SlotPoolBase):
     """Slot pool over an iterator of B=1 host batches.
 
     ``run(batches)`` yields ``(key, np.ndarray tokens)`` in completion order
@@ -283,140 +443,48 @@ class ContinuousGreedyDecoder:
         # so the run loop can skip launching another chunk for it.
         self._t_host: list = [0] * num_slots
 
-    def _refill_many(self, slot_req) -> None:
-        """Grouped refill: batched front half over same-shape requests +
-        power-of-two B=k prefills (see ContinuousBeamDecoder)."""
-        padded = _padded_prefills(
-            self.model, self.params,
-            [batch for _, _, batch in slot_req], self.prefill_len,
+    def _reset_slot(self, slot, key):
+        self._keys[slot] = key
+        self._toks[slot] = []
+
+    def _insert_chunk(self, slots, embeds, mask, pos, *, k, extra, offset):
+        return _insert_slots(
+            self.params["llm"], self.cfg, *self.pool,
+            slots, embeds, mask, pos,
+            eos_token_id=self.eos, capacity=self.capacity, k=k,
         )
-        i = 0
-        while i < len(slot_req):
-            k = 1 << ((len(slot_req) - i).bit_length() - 1)
-            chunk, ms = slot_req[i: i + k], padded[i: i + k]
-            self.pool = _insert_slots(
-                self.params["llm"], self.cfg, *self.pool,
-                jnp.asarray([s for s, _, _ in chunk], jnp.int32),
-                jnp.concatenate([e for e, _, _ in ms], axis=0),
-                jnp.concatenate([m for _, m, _ in ms], axis=0),
-                jnp.concatenate([p for _, _, p in ms], axis=0),
-                eos_token_id=self.eos, capacity=self.capacity, k=k,
-            )
-            for slot, key, _ in chunk:
-                self._keys[slot] = key
-                self._toks[slot] = []
-                self._epoch[slot] += 1
-                self._t_host[slot] = 1  # the prefill token (tok0)
-            i += k
 
-    def run(
-        self, batches: Iterator[Tuple[str, Dict]],
-        stop_after: Optional[Dict[str, int]] = None,
-    ) -> Iterator[Tuple[str, np.ndarray]]:
-        """``stop_after``: optional per-request token cap (app-level early
-        stop); the slot frees at the next sync boundary, like a natural
-        EOS would."""
-        batches = iter(batches)
-        free = list(range(self.num_slots))
-        exhausted = False
-        inflight = None  # (toks_dev, tok0_dev, fresh_dev, snapshot)
+    def _launch_chunk(self):
+        self.pool, toks, tok0, fresh = _pool_steps(
+            self.params["llm"], self.cfg, *self.pool,
+            eos_token_id=self.eos, steps=self.sync_every,
+            max_new_tokens=self.max_new,
+        )
+        return toks, tok0, fresh
 
-        def cap(key):
-            if stop_after and key in stop_after:
-                return max(min(stop_after[key], self.max_new), 1)
-            return self.max_new
-
-        def finish(slot):
-            key = self._keys[slot]
-            toks = [t for t in self._toks[slot] if t != self.eos][: cap(key)]
-            self._keys[slot] = None
-            self._toks[slot] = []
-            free.append(slot)
-            return key, np.asarray(toks, np.int32)
-
-        while True:
-            pending = []
-            got_none = False
-            while free and not exhausted:
-                try:
-                    item = next(batches)
-                except StopIteration:
-                    exhausted = True
-                    break
-                if item is None:
-                    # live-source protocol (cli/serve.py): nothing ready
-                    # right now — step the in-flight slots instead of
-                    # blocking admission on a slow request stream
-                    got_none = True
-                    break
-                key, batch = item
-                pending.append((free.pop(), key, batch))
-            if pending:
-                self._refill_many(pending)
-
-            busy = [
-                i for i in range(self.num_slots) if self._keys[i] is not None
-            ]
-            if not busy and inflight is None:
-                if exhausted:
-                    return
-                if got_none:
-                    # defensive: an idle pool over a live source that has
-                    # nothing ready must not spin hot on next()
-                    time.sleep(0.001)
+    def _harvest_chunk(self, payload, snapshot, cap):
+        toks, tok0, fresh = jax.device_get(payload)
+        for slot, key, epoch in snapshot:
+            if self._keys[slot] != key or self._epoch[slot] != epoch:
+                continue  # finished and refilled; stale column
+            if fresh[slot]:
+                # the prefill token of a slot inserted just before this
+                # chunk was dispatched
+                self._toks[slot].append(int(tok0[slot]))
+            if self._toks[slot] and (
+                self._toks[slot][-1] == self.eos
+                or len(self._toks[slot]) >= cap(key)
+            ):
+                yield self._finish(slot, cap)
                 continue
-
-            # dispatch chunk k+1 before harvesting chunk k: the host sync
-            # below overlaps this chunk's device time.  Skip the dispatch
-            # when every busy slot has provably been offered >= cap tokens
-            # by the chunks already launched (EOS may finish slots sooner,
-            # but a cap-hit slot is inactive either way) — another chunk
-            # would only churn frozen slots.  The ``inflight is not None``
-            # guard is load-bearing: a slot refilled AFTER the in-flight
-            # chunk was dispatched is absent from its snapshot and is only
-            # freed one iteration later, so a fresh slot always gets its
-            # chunk on the next pass instead of livelocking the skip.
-            all_done = all(
-                self._t_host[i] >= cap(self._keys[i]) for i in busy
-            )
-            nxt = None
-            if busy and not (all_done and inflight is not None):
-                self.pool, toks, tok0, fresh = _pool_steps(
-                    self.params["llm"], self.cfg, *self.pool,
-                    eos_token_id=self.eos, steps=self.sync_every,
-                    max_new_tokens=self.max_new,
-                )
-                for i in busy:
-                    self._t_host[i] += self.sync_every
-                snapshot = [(i, self._keys[i], self._epoch[i]) for i in busy]
-                nxt = (toks, tok0, fresh, snapshot)
-
-            if inflight is not None:
-                toks, tok0, fresh, snapshot = inflight
-                toks, tok0, fresh = jax.device_get((toks, tok0, fresh))
-                for slot, key, epoch in snapshot:
-                    if self._keys[slot] != key or self._epoch[slot] != epoch:
-                        continue  # finished and refilled; stale column
-                    if fresh[slot]:
-                        # the prefill token of a slot inserted just before
-                        # this chunk was dispatched
-                        self._toks[slot].append(int(tok0[slot]))
-                    if self._toks[slot] and (
-                        self._toks[slot][-1] == self.eos
-                        or len(self._toks[slot]) >= cap(key)
-                    ):
-                        yield finish(slot)
-                        continue
-                    for t in toks[:, slot]:
-                        self._toks[slot].append(int(t))
-                        if t == self.eos:
-                            break
-                    if self._toks[slot][-1] == self.eos or (
-                        len(self._toks[slot]) >= cap(key)
-                    ):
-                        yield finish(slot)
-
-            inflight = nxt
+            for t in toks[:, slot]:
+                self._toks[slot].append(int(t))
+                if t == self.eos:
+                    break
+            if self._toks[slot][-1] == self.eos or (
+                len(self._toks[slot]) >= cap(key)
+            ):
+                yield self._finish(slot, cap)
 
 
 def decode_continuous(

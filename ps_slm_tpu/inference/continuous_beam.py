@@ -24,15 +24,13 @@ are finalized on device and refilled immediately.
 from __future__ import annotations
 
 import functools
-import time
-from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ps_slm_tpu.models import qwen2
-from ps_slm_tpu.inference.continuous import _padded_prefills
+from ps_slm_tpu.inference.continuous import _SlotPoolBase
 
 NEG_INF = -1e30
 
@@ -311,12 +309,17 @@ def _finalize(state, slots, *, max_new_tokens: int, length_penalty: float):
     )[:, 0]
 
 
-class ContinuousBeamDecoder:
+class ContinuousBeamDecoder(_SlotPoolBase):
     """Slot pool of independent beam searches (HF/beam_generate semantics).
 
     ``run(batches)`` consumes ``(key, device_batch)`` and yields
     ``(key, tokens)`` in completion order; per-request output is identical
-    to the static ``beam_generate``."""
+    to the static ``beam_generate``.  Run-loop protocol (admission,
+    grouped refills, pipelined harvest, provably-done skip) lives in
+    ``continuous._SlotPoolBase``."""
+
+    _supports_stop_after = False  # banked-hypothesis semantics have no
+    #                               app-level truncation equivalent
 
     def __init__(
         self, model, params, *,
@@ -352,122 +355,49 @@ class ContinuousBeamDecoder:
         # would compute only frozen garbage — the run loop skips it.
         self._t_host: list = [0] * num_slots
 
-    def _refill_many(self, slot_req) -> None:
-        """Grouped refill: run the merge front half (encoder -> posterior
-        -> PSD -> projector -> merge) batched over same-shape requests and
-        prefill all pending requests in power-of-two B=k forwards —
-        per-request B=1 front halves + prefills were the pool's dominant
-        overhead at 1.5B (docs/PERF.md beam-pool numbers)."""
-        padded = _padded_prefills(
-            self.model, self.params,
-            [batch for _, _, batch in slot_req], self.prefill_len,
+    def _reset_slot(self, slot, key):
+        self._keys[slot] = key
+
+    def _insert_chunk(self, slots, embeds, mask, pos, *, k, extra, offset):
+        return _insert_slots(
+            self.params["llm"], self.cfg, *self.pool,
+            slots, embeds, mask, pos,
+            eos_token_id=self.eos, capacity=self.capacity,
+            num_beams=self.bm, max_new_tokens=self.max_new,
+            length_penalty=self.lp, k=k,
         )
-        i = 0
-        while i < len(slot_req):
-            k = 1 << ((len(slot_req) - i).bit_length() - 1)
-            chunk, ms = slot_req[i: i + k], padded[i: i + k]
-            self.pool = _insert_slots(
-                self.params["llm"], self.cfg, *self.pool,
-                jnp.asarray([s for s, _, _ in chunk], jnp.int32),
-                jnp.concatenate([e for e, _, _ in ms], axis=0),
-                jnp.concatenate([m for _, m, _ in ms], axis=0),
-                jnp.concatenate([p for _, _, p in ms], axis=0),
-                eos_token_id=self.eos, capacity=self.capacity,
-                num_beams=self.bm, max_new_tokens=self.max_new,
-                length_penalty=self.lp, k=k,
-            )
-            for slot, key, _ in chunk:
-                self._keys[slot] = key
-                self._epoch[slot] += 1
-                self._t_host[slot] = 1  # _insert_slots sets device t=1
-            i += k
 
-    def run(
-        self, batches: Iterator[Tuple[str, Dict]],
-    ) -> Iterator[Tuple[str, np.ndarray]]:
-        batches = iter(batches)
-        free = list(range(self.num_slots))
-        exhausted = False
-        inflight = None  # (active_dev, snapshot)
+    def _launch_chunk(self):
+        self.pool, active = _pool_steps(
+            self.params["llm"], self.cfg, *self.pool,
+            eos_token_id=self.eos, steps=self.sync_every,
+            max_new_tokens=self.max_new, num_beams=self.bm,
+            prefill_len=self.prefill_len, length_penalty=self.lp,
+        )
+        return active
 
-        while True:
-            pending = []
-            got_none = False
-            while free and not exhausted:
-                try:
-                    item = next(batches)
-                except StopIteration:
-                    exhausted = True
-                    break
-                if item is None:
-                    # live-source protocol (cli/serve.py): nothing ready
-                    # right now — step the in-flight slots instead of
-                    # blocking admission on a slow request stream
-                    got_none = True
-                    break
-                key, batch = item
-                pending.append((free.pop(), key, batch))
-            if pending:
-                self._refill_many(pending)
-
-            busy = [
-                i for i in range(self.num_slots) if self._keys[i] is not None
-            ]
-            if not busy and inflight is None:
-                if exhausted:
-                    return
-                if got_none:
-                    # defensive: an idle pool over a live source that has
-                    # nothing ready must not spin hot on next()
-                    time.sleep(0.001)
-                continue
-
-            nxt = None
-            # provably-done skip: device t advances <= sync_every per chunk,
-            # so t_host >= max_new means the slot is inactive (t capped or
-            # early-exited sooner); when that holds for every busy slot AND
-            # a harvest is already in flight to free them, the next chunk
-            # would only churn frozen slots — skip launching it
-            all_done = all(
-                self._t_host[i] >= self.max_new for i in busy
-            )
-            if busy and not (all_done and inflight is not None):
-                self.pool, active = _pool_steps(
-                    self.params["llm"], self.cfg, *self.pool,
-                    eos_token_id=self.eos, steps=self.sync_every,
-                    max_new_tokens=self.max_new, num_beams=self.bm,
-                    prefill_len=self.prefill_len, length_penalty=self.lp,
-                )
-                for i in busy:
-                    self._t_host[i] += self.sync_every
-                snapshot = [(i, self._keys[i], self._epoch[i]) for i in busy]
-                nxt = (active, snapshot)
-
-            if inflight is not None:
-                active, snapshot = inflight
-                active = np.asarray(jax.device_get(active))
-                done = [
-                    slot for slot, key0, epoch0 in snapshot
-                    if self._keys[slot] == key0
-                    and self._epoch[slot] == epoch0
-                    and not active[slot]
-                ]
-                if done:
-                    # one batched finalize per harvest; pad the slot list
-                    # to a power of two to bound compile variants
-                    m = len(done)
-                    mp = 1 << (m - 1).bit_length() if m > 1 else 1
-                    idx = done + [done[0]] * (mp - m)
-                    seqs = np.asarray(jax.device_get(_finalize(
-                        self.pool[1], jnp.asarray(idx, jnp.int32),
-                        max_new_tokens=self.max_new,
-                        length_penalty=self.lp,
-                    )))[:m]
-                    for slot, seq in zip(done, seqs):
-                        key = self._keys[slot]
-                        self._keys[slot] = None
-                        free.append(slot)
-                        toks = seq[seq != self.eos]
-                        yield key, toks.astype(np.int32)
-
-            inflight = nxt
+    def _harvest_chunk(self, payload, snapshot, cap):
+        active = np.asarray(jax.device_get(payload))
+        done = [
+            slot for slot, key0, epoch0 in snapshot
+            if self._keys[slot] == key0
+            and self._epoch[slot] == epoch0
+            and not active[slot]
+        ]
+        if done:
+            # one batched finalize per harvest; pad the slot list to a
+            # power of two to bound compile variants
+            m = len(done)
+            mp = 1 << (m - 1).bit_length() if m > 1 else 1
+            idx = done + [done[0]] * (mp - m)
+            seqs = np.asarray(jax.device_get(_finalize(
+                self.pool[1], jnp.asarray(idx, jnp.int32),
+                max_new_tokens=self.max_new,
+                length_penalty=self.lp,
+            )))[:m]
+            for slot, seq in zip(done, seqs):
+                key = self._keys[slot]
+                self._keys[slot] = None
+                self._free.append(slot)
+                toks = seq[seq != self.eos]
+                yield key, toks.astype(np.int32)

@@ -12,15 +12,13 @@ draft cursors ride the pool state; output per request is identical to
 from __future__ import annotations
 
 import functools
-import time
-from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ps_slm_tpu.models import qwen2
-from ps_slm_tpu.inference.continuous import _padded_prefills
+from ps_slm_tpu.inference.continuous import _SlotPoolBase
 
 
 def _init_pool(cfg, num_slots, capacity, d_max, eos, dtype):
@@ -224,12 +222,14 @@ def _pool_spec_steps(
     return new_pool, toks, accs, tok0_buf, tok0_fresh
 
 
-class ContinuousSpeculativeDecoder:
+class ContinuousSpeculativeDecoder(_SlotPoolBase):
     """Slot pool where each step verifies a draft window per slot.
 
     ``run(batches)`` consumes ``(key, (device_batch, draft_ids, draft_len))``
     tuples — drafts in LLM vocab (e.g. the CTC transcript re-tokenized) —
-    and yields ``(key, tokens)`` in completion order.
+    and yields ``(key, tokens)`` in completion order.  Run-loop protocol
+    (admission, grouped refills, pipelined harvest, provably-done skip)
+    lives in ``continuous._SlotPoolBase``.
     """
 
     def __init__(
@@ -267,147 +267,66 @@ class ContinuousSpeculativeDecoder:
         # already hit their cap
         self._t_host: list = [0] * num_slots
 
-    def _refill_many(self, slot_req) -> None:
-        """Grouped refill (see ContinuousGreedyDecoder): batched front half
-        over same-shape requests + power-of-two B=k prefills, draft rows
-        installed alongside.  ``slot_req`` entries are
-        ``(slot, key, (batch, draft_ids, draft_len))``; ``draft_len`` is
-        honored (drafts may arrive padded wider than their true length)."""
-        padded = _padded_prefills(
-            self.model, self.params,
-            [batch for _, _, (batch, _, _) in slot_req], self.prefill_len,
-        )
+    def _payload_batch(self, payload):
+        batch, _, _ = payload
+        return batch
+
+    def _prepare_refill(self, slot_req):
+        """Draft rows/lens for the whole refill; ``draft_len`` is honored
+        (drafts may arrive padded wider than their true length)."""
         rows = np.zeros((len(slot_req), self.d_max), np.int32)
         lens = np.zeros((len(slot_req),), np.int32)
         for i, (_, _, (_, draft, dlen)) in enumerate(slot_req):
             n = min(int(dlen), len(draft), self.d_max)
             rows[i, :n] = np.asarray(draft[:n], np.int32)
             lens[i] = n
-        i = 0
-        while i < len(slot_req):
-            k = 1 << ((len(slot_req) - i).bit_length() - 1)
-            chunk, ms = slot_req[i: i + k], padded[i: i + k]
-            self.pool = _insert_slots(
-                self.params["llm"], self.cfg, *self.pool,
-                jnp.asarray([s for s, _, _ in chunk], jnp.int32),
-                jnp.concatenate([e for e, _, _ in ms], axis=0),
-                jnp.concatenate([m for _, m, _ in ms], axis=0),
-                jnp.concatenate([p for _, _, p in ms], axis=0),
-                jnp.asarray(rows[i: i + k]), jnp.asarray(lens[i: i + k]),
-                eos_token_id=self.eos, capacity=self.capacity, k=k,
+        return rows, lens
+
+    def _reset_slot(self, slot, key):
+        self._keys[slot] = key
+        self._toks[slot] = []
+
+    def _insert_chunk(self, slots, embeds, mask, pos, *, k, extra, offset):
+        rows, lens = extra
+        return _insert_slots(
+            self.params["llm"], self.cfg, *self.pool,
+            slots, embeds, mask, pos,
+            jnp.asarray(rows[offset: offset + k]),
+            jnp.asarray(lens[offset: offset + k]),
+            eos_token_id=self.eos, capacity=self.capacity, k=k,
+        )
+
+    def _launch_chunk(self):
+        self.pool, toks, accs, tok0, fresh = _pool_spec_steps(
+            self.params["llm"], self.cfg, *self.pool,
+            eos_token_id=self.eos, steps=self.sync_every,
+            max_new_tokens=self.max_new, window=self.window,
+            prefill_len=self.prefill_len,
+        )
+        return toks, accs, tok0, fresh
+
+    def _harvest_chunk(self, payload, snapshot, cap):
+        toks, accs, tok0, fresh = jax.device_get(payload)
+        for slot, key, epoch in snapshot:
+            if self._keys[slot] != key or self._epoch[slot] != epoch:
+                continue  # finished and refilled; stale column
+            if fresh[slot]:
+                self._toks[slot].append(int(tok0[slot]))
+            finished = (
+                self._toks[slot]
+                and self._toks[slot][-1] == self.eos
             )
-            for slot, key, _ in chunk:
-                self._keys[slot] = key
-                self._toks[slot] = []
-                self._epoch[slot] += 1
-                self._t_host[slot] = 1  # the prefill token (tok0)
-            i += k
-
-    def run(
-        self, batches: Iterator[Tuple[str, Tuple[Dict, list]]],
-        stop_after: Optional[Dict[str, int]] = None,
-    ) -> Iterator[Tuple[str, np.ndarray]]:
-        """``stop_after``: optional per-request token cap (app-level early
-        stop), like ContinuousGreedyDecoder.run."""
-        batches = iter(batches)
-        free = list(range(self.num_slots))
-        exhausted = False
-        inflight = None
-
-        def cap(key):
-            if stop_after and key in stop_after:
-                return max(min(stop_after[key], self.max_new), 1)
-            return self.max_new
-
-        def finish(slot):
-            key = self._keys[slot]
-            toks = [
-                t for t in self._toks[slot] if t != self.eos
-            ][: cap(key)]
-            self._keys[slot] = None
-            self._toks[slot] = []
-            free.append(slot)
-            return key, np.asarray(toks, np.int32)
-
-        while True:
-            pending = []
-            got_none = False
-            while free and not exhausted:
-                try:
-                    item = next(batches)
-                except StopIteration:
-                    exhausted = True
-                    break
-                if item is None:
-                    # live-source protocol (cli/serve.py): nothing ready
-                    # right now — step the in-flight slots instead of
-                    # blocking admission on a slow request stream
-                    got_none = True
-                    break
-                key, (batch, draft, dlen) = item
-                pending.append((free.pop(), key, (batch, draft, dlen)))
-            if pending:
-                self._refill_many(pending)
-
-            busy = [
-                i for i in range(self.num_slots) if self._keys[i] is not None
-            ]
-            if not busy and inflight is None:
-                if exhausted:
-                    return
-                if got_none:
-                    # defensive: an idle pool over a live source that has
-                    # nothing ready must not spin hot on next()
-                    time.sleep(0.001)
-                continue
-
-            # provably-done skip (see ContinuousGreedyDecoder.run): every
-            # busy slot at >= cap tokens is inactive on device; if the
-            # in-flight harvest will free them, launching another chunk
-            # would only churn frozen slots
-            all_done = all(
-                self._t_host[i] >= cap(self._keys[i]) for i in busy
+            if not finished:
+                for st in range(toks.shape[0]):
+                    for t in toks[st, slot, : accs[st, slot]]:
+                        self._toks[slot].append(int(t))
+                        if t == self.eos:
+                            finished = True
+                            break
+                    if finished:
+                        break
+            n_real = len(
+                [t for t in self._toks[slot] if t != self.eos]
             )
-            nxt = None
-            if busy and not (all_done and inflight is not None):
-                self.pool, toks, accs, tok0, fresh = _pool_spec_steps(
-                    self.params["llm"], self.cfg, *self.pool,
-                    eos_token_id=self.eos, steps=self.sync_every,
-                    max_new_tokens=self.max_new, window=self.window,
-                    prefill_len=self.prefill_len,
-                )
-                for i in busy:
-                    self._t_host[i] += self.sync_every
-                snapshot = [(i, self._keys[i], self._epoch[i]) for i in busy]
-                nxt = (toks, accs, tok0, fresh, snapshot)
-
-            if inflight is not None:
-                toks, accs, tok0, fresh, snapshot = inflight
-                toks, accs, tok0, fresh = jax.device_get(
-                    (toks, accs, tok0, fresh)
-                )
-                for slot, key, epoch in snapshot:
-                    if self._keys[slot] != key or self._epoch[slot] != epoch:
-                        continue
-                    if fresh[slot]:
-                        self._toks[slot].append(int(tok0[slot]))
-                    finished = (
-                        self._toks[slot]
-                        and self._toks[slot][-1] == self.eos
-                    )
-                    if not finished:
-                        for st in range(toks.shape[0]):
-                            for t in toks[st, slot, : accs[st, slot]]:
-                                self._toks[slot].append(int(t))
-                                if t == self.eos:
-                                    finished = True
-                                    break
-                            if finished:
-                                break
-                    n_real = len(
-                        [t for t in self._toks[slot] if t != self.eos]
-                    )
-                    if finished or n_real >= cap(key):
-                        yield finish(slot)
-
-            inflight = nxt
+            if finished or n_real >= cap(key):
+                yield self._finish(slot, cap)
