@@ -350,10 +350,30 @@ int open_stream(const char* path, int64_t offset, Stream* s) {
 extern "C" {
 
 int ps_flac_info(const char* path, int64_t offset, FlacMeta* meta) {
-  Stream s;
-  int rc = open_stream(path, offset, &s);
-  if (rc != PS_FLAC_OK) return rc;
-  *meta = s.meta;
+  // Header-only: STREAMINFO is the mandatory FIRST metadata block (FLAC
+  // spec), so 42 bytes suffice — the resume fast-forward calls this per
+  // skipped utterance and must not pay a full-file read (open_stream
+  // slurps to EOF for the decode path).
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return PS_FLAC_ERR_OPEN;
+  if (offset < 0 || std::fseek(f, (long)offset, SEEK_SET) != 0) {
+    std::fclose(f);
+    return PS_FLAC_ERR_OPEN;
+  }
+  uint8_t buf[42];
+  size_t got = std::fread(buf, 1, sizeof(buf), f);
+  std::fclose(f);
+  if (got == 0) return PS_FLAC_ERR_OPEN;
+  if (got < sizeof(buf) || std::memcmp(buf, "fLaC", 4) != 0)
+    return PS_FLAC_ERR_FORMAT;
+  if ((buf[4] & 0x7F) != 0) return PS_FLAC_ERR_FORMAT;  // not STREAMINFO
+  const uint8_t* si = buf + 8;
+  uint64_t bits = 0;
+  for (int i = 0; i < 8; i++) bits = (bits << 8) | si[10 + i];
+  meta->sample_rate = (int32_t)((bits >> 44) & 0xFFFFF);
+  meta->num_channels = (int32_t)(((bits >> 41) & 0x7) + 1);
+  meta->bits_per_sample = (int32_t)(((bits >> 36) & 0x1F) + 1);
+  meta->total_samples = (int64_t)(bits & ((1ull << 36) - 1));
   return PS_FLAC_OK;
 }
 
@@ -376,8 +396,15 @@ int64_t ps_flac_read(const char* path, int64_t offset, int32_t* out,
     if (n < 0) return n;
     got += n;
   }
-  if (s.meta.total_samples) got = s.meta.total_samples;
+  // clamp DOWN to STREAMINFO's count (a final frame may pad past it) but
+  // never up: forcing got = total_samples on a truncated stream made the
+  // memcpy read past pcm's heap allocation
+  if (s.meta.total_samples && got > s.meta.total_samples)
+    got = s.meta.total_samples;
   int64_t want = got * s.meta.num_channels;
+  if (want > (int64_t)pcm.size()) want = (int64_t)pcm.size();
+  got = want / (s.meta.num_channels ? s.meta.num_channels : 1);
+  want = got * s.meta.num_channels;
   if (want > capacity) return PS_FLAC_ERR_SHORT;
   std::memcpy(out, pcm.data(), (size_t)want * sizeof(int32_t));
   return got;

@@ -7,7 +7,9 @@
 //
 // C ABI for ctypes.
 
+#include <cctype>
 #include <cstdint>
+#include <cstdlib>
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -136,21 +138,30 @@ void* ps_spm_load(const char* model_path) {
           pos + ln > data.size())
         break;
       Piece p;
-      if (parse_piece(data.data() + pos, ln, p)) {
-        int id = (int)m->pieces.size();
-        if (!m->piece_to_id.count(p.text)) {
-          m->piece_to_id[p.text] = id;
-          m->scores[p.text] = p.score;
-        }
-        if (p.type == 2) m->unk_id = id;
-        if (p.type == 6 && p.text.size() == 6) {
-          // "<0xNN>"
-          int v = std::stoi(p.text.substr(3, 2), nullptr, 16);
-          m->byte_ids[v] = id;
-          m->has_bytes = true;
-        }
-        m->pieces.push_back(std::move(p));
+      if (!parse_piece(data.data() + pos, ln, p)) {
+        // a skipped piece would silently shift every subsequent vocab id
+        // away from the Python reference (data/spm.py) — fail the load
+        // instead and let the caller fall back
+        delete m;
+        return nullptr;
       }
+      int id = (int)m->pieces.size();
+      if (!m->piece_to_id.count(p.text)) {
+        m->piece_to_id[p.text] = id;
+        m->scores[p.text] = p.score;
+      }
+      if (p.type == 2) m->unk_id = id;
+      if (p.type == 6 && p.text.size() == 6 &&
+          p.text.compare(0, 3, "<0x") == 0 && p.text[5] == '>' &&
+          std::isxdigit((unsigned char)p.text[3]) &&
+          std::isxdigit((unsigned char)p.text[4])) {
+        // "<0xNN>"; strict match — std::stoi on an arbitrary type-6
+        // piece could throw across the C ABI
+        int v = (int)std::strtol(p.text.substr(3, 2).c_str(), nullptr, 16);
+        m->byte_ids[v] = id;
+        m->has_bytes = true;
+      }
+      m->pieces.push_back(std::move(p));
       pos += ln;
     } else {
       if (!skip_field(data.data(), data.size(), pos, wt)) break;

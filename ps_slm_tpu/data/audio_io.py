@@ -99,7 +99,7 @@ def parse_path(path: str) -> Tuple[str, int]:
     """``file.ark:12345`` -> (file, offset); plain path -> (path, 0)."""
     if ":" in path:
         head, _, tail = path.rpartition(":")
-        if tail.isdigit() and os.sep in head or (head and tail.isdigit()):
+        if head and tail.isdigit():
             return head, int(tail)
     return path, 0
 

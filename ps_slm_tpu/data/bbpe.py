@@ -76,9 +76,15 @@ class ByteLevelBPE:
         merges: List[Tuple[str, str]],
         special_tokens: Optional[List[str]] = None,
         pattern: str = QWEN_PATTERN,
+        nfc: Optional[bool] = None,
     ):
         import regex
 
+        # Qwen2's tokenizer.json runs an NFC normalizer before
+        # pre-tokenization; classic GPT-2 checkpoints have none.  Default
+        # follows the pattern choice (same autoselection rule as
+        # from_pretrained's tokenizer_class sniff).
+        self.nfc = (pattern == QWEN_PATTERN) if nfc is None else nfc
         self.vocab = vocab
         self.inv_vocab = {i: t for t, i in vocab.items()}
         self.ranks = {pair: i for i, pair in enumerate(merges)}
@@ -195,6 +201,12 @@ class ByteLevelBPE:
 
     def encode_ordinary(self, text: str) -> List[int]:
         """Encode ignoring special tokens."""
+        if self.nfc and not text.isascii():
+            # decomposed input (e.g. 'e' + U+0301) must produce the same
+            # ids as its composed form — see the ``nfc`` init comment
+            import unicodedata
+
+            text = unicodedata.normalize("NFC", text)
         out: List[int] = []
         for m in self.pat.finditer(text):
             mapped = "".join(

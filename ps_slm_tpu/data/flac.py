@@ -257,6 +257,18 @@ def _decode_frame(
     return np.stack(chans, axis=1).astype(np.int32), rate
 
 
+def _parse_streaminfo(block: bytes) -> Tuple[int, int, int, int]:
+    """(rate, channels, bps, total_samples) from a STREAMINFO block."""
+    if len(block) < 18:
+        raise ValueError("flac: truncated STREAMINFO")
+    bits = int.from_bytes(block[10:18], "big")
+    rate = (bits >> 44) & 0xFFFFF
+    channels = ((bits >> 41) & 0x7) + 1
+    bps = ((bits >> 36) & 0x1F) + 1
+    total = bits & ((1 << 36) - 1)
+    return rate, channels, bps, total
+
+
 def stream_info(path: str, offset: int = 0) -> Tuple[int, int, int, int]:
     """STREAMINFO only — (rate, channels, bps, total_samples) without
     decoding any frame.  total_samples may be 0 (= unknown per spec)."""
@@ -279,12 +291,7 @@ def stream_info(path: str, offset: int = 0) -> Tuple[int, int, int, int]:
                 break
     if streaminfo is None:
         raise ValueError("flac: missing STREAMINFO")
-    bits = int.from_bytes(streaminfo[10:18], "big")
-    rate = (bits >> 44) & 0xFFFFF
-    channels = ((bits >> 41) & 0x7) + 1
-    bps = ((bits >> 36) & 0x1F) + 1
-    total = bits & ((1 << 36) - 1)
-    return rate, channels, bps, total
+    return _parse_streaminfo(streaminfo)
 
 
 def read_flac(path: str, offset: int = 0) -> Tuple[int, np.ndarray]:
@@ -297,6 +304,8 @@ def read_flac(path: str, offset: int = 0) -> Tuple[int, np.ndarray]:
     pos = 4
     streaminfo = None
     while True:
+        if pos + 4 > len(data):
+            raise ValueError(f"flac: truncated metadata: {path}:{offset}")
         hdr = data[pos]
         last = hdr & 0x80
         btype = hdr & 0x7F
@@ -308,11 +317,7 @@ def read_flac(path: str, offset: int = 0) -> Tuple[int, np.ndarray]:
             break
     if streaminfo is None:
         raise ValueError("flac: missing STREAMINFO")
-    bits = int.from_bytes(streaminfo[10:18], "big")
-    rate = (bits >> 44) & 0xFFFFF
-    channels = ((bits >> 41) & 0x7) + 1
-    bps = ((bits >> 36) & 0x1F) + 1
-    total = bits & ((1 << 36) - 1)
+    rate, channels, bps, total = _parse_streaminfo(streaminfo)
 
     br = BitReader(data, pos)
     blocks = []

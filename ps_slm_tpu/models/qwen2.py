@@ -165,15 +165,22 @@ def load_hf_checkpoint(
 
 
 def hf_tensors_to_params(
-    tensors: Dict[str, np.ndarray], cfg: Qwen2Config, dtype=jnp.bfloat16
+    tensors: Dict[str, np.ndarray], cfg: Qwen2Config, dtype=jnp.bfloat16,
+    consumed: Optional[set] = None,
 ) -> Params:
-    """Map a flat HF state dict (numpy) onto the stacked-layer pytree."""
+    """Map a flat HF state dict (numpy) onto the stacked-layer pytree.
+
+    ``consumed`` (optional out-param): receives the tensor keys actually
+    read, so strict=False importers can report unmatched keys honestly
+    instead of assuming every ``llm.*`` key loaded."""
     L = cfg.num_hidden_layers
 
     def get(name):
         # some exports prefix with "model."
         for cand in (name, f"model.{name}"):
             if cand in tensors:
+                if consumed is not None:
+                    consumed.add(cand)
                 return tensors[cand]
         raise KeyError(name)
 
@@ -207,6 +214,8 @@ def hf_tensors_to_params(
         lm = tensors.get("lm_head.weight")
         if lm is None:
             raise KeyError("lm_head.weight (untied config)")
+        if consumed is not None:
+            consumed.add("lm_head.weight")
         params["lm_head"] = jnp.asarray(np.asarray(lm).T, dtype)
     return params
 

@@ -65,6 +65,7 @@ def _parse_encoder_yaml(path: str) -> dict:
         return conf
     except ImportError:
         conf: dict = {}
+        top: dict = {}  # top-level scalars (input_size/vocab_size live here)
         section = None
         with open(path) as f:
             for line in f:
@@ -75,14 +76,25 @@ def _parse_encoder_yaml(path: str) -> dict:
                 if not m:
                     continue
                 key, val = m.groups()
+
+                def parse(v):
+                    try:
+                        return json.loads(v)
+                    except json.JSONDecodeError:
+                        return v
+
                 if indent == 0:
                     section = key if val == "" else None
+                    if val != "":
+                        top[key] = parse(val)
                     continue
                 if section == "encoder_conf" and val != "":
-                    try:
-                        conf[key] = json.loads(val)
-                    except json.JSONDecodeError:
-                        conf[key] = val
+                    conf[key] = parse(val)
+        # same precedence as the yaml branch above
+        conf["input_size"] = top.get(
+            "input_size", conf.get("input_size", 560)
+        )
+        conf["vocab_size"] = top.get("vocab_size", 25055)
         return conf
 
 
@@ -458,7 +470,10 @@ def import_reference_checkpoint(
     }
     if llm_tensors:
         try:
-            new_llm = q.hf_tensors_to_params(llm_tensors, model.llm_cfg, dtype)
+            consumed: set = set()
+            new_llm = q.hf_tensors_to_params(
+                llm_tensors, model.llm_cfg, dtype, consumed=consumed
+            )
             # preserve LoRA leaves if present
             old_layers = model.params["llm"]["layers"]
             for name, node in new_llm["layers"].items():
@@ -478,7 +493,10 @@ def import_reference_checkpoint(
 
                 new_llm = quantize_llm(new_llm)
             model.params["llm"] = new_llm
-            loaded += [f"llm.{k}" for k in llm_tensors]
+            # only keys the mapper actually read — an unconsumed key (e.g.
+            # rotary_emb.inv_freq or a renamed tensor) must surface as
+            # unmatched under the strict=False contract, not as loaded
+            loaded += [f"llm.{k}" for k in llm_tensors if k in consumed]
         except KeyError as e:
             raise KeyError(f"partial llm checkpoint, missing {e}") from e
 
@@ -573,9 +591,24 @@ def export_peft_adapters(model, path: str) -> Dict[str, np.ndarray]:
 def import_peft_adapters(model, path_or_tensors, dtype=jnp.float32) -> list:
     """Load an HF-PEFT adapter checkpoint (dir with adapter_model.bin, the
     file itself, or a tensor dict) onto the LoRA leaves.  The reference's
-    ``peft_ckpt`` resume (ps-slm.py:110-113)."""
+    ``peft_ckpt`` resume (ps-slm.py:110-113).
+
+    When an ``adapter_config.json`` sits next to the weights, its
+    ``lora_alpha / r`` also sets our per-layer ``lora_scale`` — raw A/B
+    factors are scale-free, so importing an adapter trained with a
+    different alpha/r than the current config would otherwise silently
+    mis-scale every adapter contribution."""
+    cfg_scale = None
     if isinstance(path_or_tensors, str):
         p = path_or_tensors
+        cfg_dir = p if os.path.isdir(p) else os.path.dirname(p)
+        cfg_path = os.path.join(cfg_dir, "adapter_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                acfg = json.load(f)
+            r, alpha = acfg.get("r"), acfg.get("lora_alpha")
+            if r and alpha is not None:
+                cfg_scale = float(alpha) / float(r)
         if os.path.isdir(p):
             p = os.path.join(p, "adapter_model.bin")
         tensors = _torch_load_state(p)
@@ -601,6 +634,10 @@ def import_peft_adapters(model, path_or_tensors, dtype=jnp.float32) -> list:
                 loaded.append(kb)
         node["lora_a"] = jnp.asarray(a, dtype)
         node["lora_b"] = jnp.asarray(bb, dtype)
+        if cfg_scale is not None and "lora_scale" in node:
+            node["lora_scale"] = jnp.full(
+                node["lora_scale"].shape, cfg_scale, dtype
+            )
     return loaded
 
 
@@ -608,8 +645,9 @@ def import_peft_adapters(model, path_or_tensors, dtype=jnp.float32) -> list:
 # 1. native train-state checkpoints (Orbax)
 # ----------------------------------------------------------------------------
 
-def save_train_state(path: str, state, *, async_save: bool = False):
-    """Orbax save of the full train state pytree."""
+def save_train_state(path: str, state):
+    """Orbax save of the full train state pytree (synchronous — the
+    checkpointer is waited on and closed before returning)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)

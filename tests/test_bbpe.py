@@ -207,3 +207,27 @@ def test_empty_special_tokens_left_regexless():
     own.add_special_tokens([])
     assert own._special_re is None
     assert own.encode("hi hi") == before
+
+
+def test_nfc_normalization_matches_qwen_semantics(trained):
+    """Qwen2's tokenizer.json NFC-normalizes before pre-tokenization;
+    decomposed input ('e' + combining acute) must encode like its composed
+    form.  GPT-2-class checkpoints have no normalizer and must NOT
+    normalize (parity with the normalizer-free rust tokenizer above)."""
+    import unicodedata
+
+    path, rust, _ = trained
+    decomposed = "café résumé"
+    composed = unicodedata.normalize("NFC", decomposed)
+    assert decomposed != composed
+
+    qwen = ByteLevelBPE.from_pretrained(path)  # Qwen pattern+NFC default
+    assert qwen.nfc
+    assert qwen.encode_ordinary(decomposed) == qwen.encode_ordinary(composed)
+
+    gpt2 = ByteLevelBPE.from_pretrained(path, pattern=GPT2_PATTERN)
+    assert not gpt2.nfc
+    # normalizer-free path still matches the (normalizer-free) rust oracle
+    # on decomposed bytes
+    assert gpt2.encode_ordinary(decomposed) == rust.encode(decomposed).ids
+    assert gpt2.encode_ordinary(decomposed) != gpt2.encode_ordinary(composed)

@@ -149,3 +149,46 @@ def test_whisper_dataset_path(tmp_path):
     np.testing.assert_allclose(
         b["input_features"], np.swapaxes(want, 1, 2), rtol=1e-6, atol=1e-6
     )
+
+
+def test_flac_truncated_stream_no_overread(tmp_path):
+    """A FLAC whose STREAMINFO overstates the decodable frames (file
+    truncated at/inside a frame) must not read past the decoded buffer:
+    the native reader previously forced got = total_samples and memcpy'd
+    that many samples regardless of how many were decoded."""
+    import ctypes
+
+    fl = tmp_path / "t.flac"
+    flac.write_flac(str(fl), 16000, _signal(16000 + 313, seed=2))
+    data = fl.read_bytes()
+    lib = audio_io._native()
+    if lib is None or not hasattr(lib, "ps_flac_info"):
+        pytest.skip("native lib not built")
+
+    meta = lib._FlacMeta()
+    assert lib.ps_flac_info(str(fl).encode(), 0, ctypes.byref(meta)) == 0
+    total = meta.total_samples
+    assert total == 16000 + 313
+
+    # cut most of the frame bytes off; header (and its total_samples) intact
+    cut = tmp_path / "cut.flac"
+    cut.write_bytes(data[: len(data) // 2])
+    assert lib.ps_flac_info(str(cut).encode(), 0, ctypes.byref(meta)) == 0
+    assert meta.total_samples == total  # header still promises everything
+
+    buf = np.zeros(total * meta.num_channels, np.int32)
+    got = lib.ps_flac_read(
+        str(cut).encode(), 0,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(buf),
+    )
+    # either a clean decode error or a short-but-valid prefix — never a
+    # claimed-full read of a half file
+    assert got < total
+
+    # header-only info also works on a file holding ONLY the header bytes
+    # (the info path must not require the frame section at all)
+    hdr_only = tmp_path / "hdr.flac"
+    hdr_only.write_bytes(data[:64])
+    assert lib.ps_flac_info(str(hdr_only).encode(), 0, ctypes.byref(meta)) == 0
+    assert meta.total_samples == total

@@ -224,3 +224,19 @@ def test_peft_adapter_interchange_logit_parity(tmp_path):
             input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
         ).logits.numpy()
     np.testing.assert_allclose(got, want2, atol=2e-4, rtol=1e-4)
+
+    # alpha mismatch: a model configured with a DIFFERENT lora_alpha still
+    # reproduces the adapter's trained logits, because the import reads
+    # alpha/r from adapter_config.json (raw A/B factors are scale-free)
+    params_ms = add_lora(
+        model.params["llm"], PeftConfig(r=r, lora_alpha=r),  # scale 1 != 2
+        jax.random.PRNGKey(1),
+    )
+    model_ms = SimpleNamespace(params={"llm": params_ms})
+    import_peft_adapters(model_ms, str(tmp_path / "adapter"))
+    scale = np.asarray(
+        model_ms.params["llm"]["layers"]["q_proj"]["lora_scale"]
+    )
+    assert np.allclose(scale, alpha / r)
+    got_ms = _jax_logits(model_ms.params["llm"], cfg, ids, mask)
+    np.testing.assert_allclose(got_ms, want, atol=2e-4, rtol=1e-4)
