@@ -83,7 +83,9 @@ class ModelConfig:
     encoder_projector_ds_rate: int = 1
     ctc_linear: Optional[str] = None   # pretrained ctc_head for simple_linear (ps-slm.py:64-85)
     qformer_layers: int = 8
+    qformer_heads: int = 12     # static head count (NOT a param leaf)
     query_len: int = 64
+    ca_heads: int = 8           # cross-attention projector heads (projector.py:104)
     # Tiny-model overrides for tests / CI (None = read from checkpoint config)
     llm_config_overrides: Optional[dict] = None
     encoder_config_overrides: Optional[dict] = None

@@ -49,7 +49,9 @@ def add_lora(llm_params: Params, peft_cfg, key, dtype=jnp.float32) -> Params:
         # are [L, in, out]
         kernel = node["kernel"] if "kernel" in node else node["q8"]
         L, d_in, d_out = kernel.shape
-        bound = math.sqrt(3.0) / math.sqrt(d_in)  # kaiming uniform a=sqrt(5)
+        # peft default init: kaiming_uniform_(a=sqrt(5)) -> gain 1/sqrt(3),
+        # bound = gain*sqrt(3/fan_in) = 1/sqrt(fan_in)
+        bound = 1.0 / math.sqrt(d_in)
         node["lora_a"] = jax.random.uniform(
             jax.random.fold_in(key, i), (L, d_in, r), dtype, -bound, bound
         )
@@ -63,7 +65,12 @@ def add_lora(llm_params: Params, peft_cfg, key, dtype=jnp.float32) -> Params:
 
 
 def merge_lora(llm_params: Params) -> Params:
-    """Fold adapters into the base kernels (for export / fast inference)."""
+    """Fold adapters into the base kernels (for export / fast inference).
+
+    int8 (QLoRA) bases are dequantized to bf16 before folding — the merged
+    kernel cannot stay q8 without a re-quantization error that would break
+    merged-vs-unmerged equivalence.
+    """
     def fold(node):
         if isinstance(node, dict) and "lora_a" in node:
             node = dict(node)
@@ -71,9 +78,17 @@ def merge_lora(llm_params: Params) -> Params:
                 "lir,lro->lio", node["lora_a"].astype(jnp.float32),
                 node["lora_b"].astype(jnp.float32),
             ) * node["lora_scale"].astype(jnp.float32)[:, None, None]
+            if "kernel" in node:
+                base, out_dtype = node["kernel"], node["kernel"].dtype
+            else:
+                from ps_slm_tpu.models.quantization import dequantize_kernel
+
+                base, out_dtype = dequantize_kernel(node), jnp.bfloat16
+                node.pop("q8")
+                node.pop("scale")
             node["kernel"] = (
-                node["kernel"].astype(jnp.float32) + delta
-            ).astype(node["kernel"].dtype)
+                base.astype(jnp.float32) + delta
+            ).astype(out_dtype)
             for k in ("lora_a", "lora_b", "lora_scale"):
                 node.pop(k)
         return node

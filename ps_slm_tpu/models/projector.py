@@ -136,9 +136,10 @@ def apply_linear_silu(p: Params, cfg, x: jnp.ndarray) -> jnp.ndarray:
 # ----------------------------------------------------------------------------
 
 def init_cross_attention(key, cfg, dtype=jnp.float32) -> Params:
+    # head count is static config (cfg.ca_heads), never a param leaf: an
+    # int leaf would become a tracer under jit and break the reshape
     return {
         "w_q": linear_init(key, cfg.encoder_dim, cfg.llm_dim, dtype, bias=False),
-        "n_heads": 8,
     }
 
 
@@ -152,7 +153,7 @@ def apply_cross_attention(
     full [B,T,h,V] softmax (projector.py:112-126) with bounded memory.
     """
     llm_embed = jax.lax.stop_gradient(llm_embed)
-    h = p["n_heads"]
+    h = getattr(cfg, "ca_heads", 8)
     b, t, _ = post.shape
     q = linear(post, p["w_q"])                      # [B,T,D]
     d_model = q.shape[-1]
@@ -196,11 +197,17 @@ def apply_cross_attention(
 
 def init_qformer(
     key, cfg, dtype=jnp.float32,
-    hidden: int = 768, heads: int = 12, intermediate: int = 3072,
+    hidden: int = 768, heads: Optional[int] = None, intermediate: int = 3072,
     cross_attention_frequency: int = 2,
 ) -> Params:
     """Minimal Blip2QFormer (``projector.py:76-101``): learned queries,
-    self-attn + (periodic) cross-attn + FFN, post-LN convention."""
+    self-attn + (periodic) cross-attn + FFN, post-LN convention.
+
+    ``heads`` defaults to ``cfg.qformer_heads``; the head count is static
+    config and must match at apply time (it is not stored in the params).
+    """
+    if heads is None:
+        heads = getattr(cfg, "qformer_heads", 12)
     n_layers = cfg.qformer_layers
     query_len = cfg.query_len
     keys = jax.random.split(key, n_layers + 3)
@@ -230,7 +237,6 @@ def init_qformer(
         "query": jax.random.normal(keys[-3], (1, query_len, hidden), dtype),
         "ln_embed": ln_init(hidden, dtype),
         "layers": layers,
-        "heads": heads,
         "out": linear_init(keys[-2], hidden, cfg.llm_dim, dtype),
         "out_norm": ln_init(cfg.llm_dim, dtype),
     }
@@ -256,7 +262,7 @@ def apply_qformer(
 ) -> jnp.ndarray:
     """x: [B,T,encoder_dim]; atts: [B,T] validity. Returns [B,query_len,llm_dim]."""
     b = x.shape[0]
-    heads = p["heads"]
+    heads = getattr(cfg, "qformer_heads", 12)
     h = jnp.broadcast_to(p["query"], (b,) + p["query"].shape[1:])
     h = layer_norm(h, p["ln_embed"]["weight"], p["ln_embed"]["bias"], eps=1e-12)
     for layer in p["layers"]:

@@ -413,7 +413,15 @@ def forward(
             position_ids = jnp.clip(jnp.cumsum(am, axis=-1) - 1, 0, None)
         else:
             base = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
-            position_ids = base + (0 if cache_index is None else cache_index)
+            if cache_index is None:
+                position_ids = base
+            else:
+                # per-row [B] cache_index (slot pools) broadcasts over S;
+                # scalar cache_index broadcasts over both axes
+                off = jnp.asarray(cache_index)
+                position_ids = base + (
+                    off[:, None] if off.ndim == 1 else off
+                )
 
     x = inputs_embeds
 

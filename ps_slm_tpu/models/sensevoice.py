@@ -236,17 +236,23 @@ def query_embedding(params: Params, ids) -> jnp.ndarray:
 # ----------------------------------------------------------------------------
 
 def funasr_tensors_to_params(
-    tensors: Dict[str, np.ndarray], cfg: SenseVoiceConfig, dtype=jnp.float32
+    tensors: Dict[str, np.ndarray], cfg: SenseVoiceConfig, dtype=jnp.float32,
+    consumed: "set | None" = None,
 ) -> Params:
     """Map a FunASR SenseVoiceSmall state dict onto the pytree.
 
     Key layout (SenseVoice.py:503-543, 619, 640):
       encoder.encoders0.0.*, encoder.encoders.N.*, encoder.tp_encoders.N.*,
       encoder.after_norm.*, encoder.tp_norm.*, ctc.ctc_lo.*, embed.weight
+
+    ``consumed`` (if given) collects the tensor-dict keys actually read, so
+    callers can report unrecognized keys as unmatched instead of loaded.
     """
     def get(name):
         for cand in (name, name.replace("encoder.", "", 1)):
             if cand in tensors:
+                if consumed is not None:
+                    consumed.add(cand)
                 return np.asarray(tensors[cand])
         raise KeyError(name)
 

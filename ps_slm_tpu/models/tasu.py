@@ -170,8 +170,15 @@ def compute_audio_embeds(
     rng: Optional[jax.Array],
     *,
     generate_mode: bool = False,
+    train: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dispatch the §2.B branch tree. Returns (embeds [B,A',H], lens [B])."""
+    """Dispatch the §2.B branch tree. Returns (embeds [B,A',H], lens [B]).
+
+    ``train=False`` (eval loss) disables dither and SpecAugment — the
+    reference zeroes dither outside the train split
+    (speech_dataset_large.py:230) — while gt_emb_noise stays on, matching
+    its unconditional application in forward (ps-slm.py:463-464).
+    """
     f = model.flags
     mc = model.model_cfg
     k = proj.downsample_rate(mc)
@@ -186,11 +193,14 @@ def compute_audio_embeds(
             # (speech_dataset_large.py:134-146)
             from ps_slm_tpu.ops import fbank as fb
 
-            dither_key = None if rng is None else jax.random.fold_in(rng, 1)
+            aug = train and not generate_mode
+            dither_key = (
+                None if (rng is None or not aug) else jax.random.fold_in(rng, 1)
+            )
             feats, flens = fb.frontend(
                 batch["waveform"], batch["waveform_length"],
                 dither_key, cfg=model.fbank_cfg, cmvn=model.cmvn,
-                train=not generate_mode,
+                train=aug,
             )
             feats = feats.astype(
                 params["llm"]["embed_tokens"].dtype
@@ -293,9 +303,10 @@ def prepare_merged(
     *,
     left_padding: bool = False,
     generate_mode: bool = False,
+    train: bool = True,
 ) -> Merged:
     audio_embeds, audio_lens = compute_audio_embeds(
-        model, params, batch, rng, generate_mode=generate_mode
+        model, params, batch, rng, generate_mode=generate_mode, train=train
     )
     inputs_embeds = qwen2.embed(params["llm"], batch["input_ids"])
     if model.mesh is not None:
@@ -342,13 +353,19 @@ def forward(
     params: Params,
     batch: Dict[str, jnp.ndarray],
     rng: Optional[jax.Array] = None,
+    train: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Training forward: returns (loss, metrics {acc, ntokens}).
 
     Loss = causal CE on merged labels (HF shift semantics, ps-slm.py:530);
     accuracy = argmax match on non-ignored shifted labels (metric.py:3-20).
+    ``train=False`` = torch ``model.eval()``: LoRA dropout, dither, and
+    SpecAugment off; gt_emb_noise unaffected (unconditional in the
+    reference forward).
     """
-    merged = prepare_merged(model, params, batch, rng, left_padding=False)
+    merged = prepare_merged(
+        model, params, batch, rng, left_padding=False, train=train
+    )
     hidden, _ = qwen2.forward(
         params["llm"], model.llm_cfg, merged.embeds,
         attention_mask=merged.attention_mask,
@@ -357,7 +374,8 @@ def forward(
         lora_dropout=model.lora_dropout,
         lora_dropout_rng=(
             jax.random.fold_in(rng, 23)
-            if (rng is not None and model.lora_dropout > 0.0) else None
+            if (train and rng is not None and model.lora_dropout > 0.0)
+            else None
         ),
     )
 
@@ -513,9 +531,20 @@ def trainable_mask(model: TasuModel, train_config) -> Params:
     Freeze semantics from the reference: freeze_encoder (ps-slm.py:35-38),
     freeze_llm (:105-108), freeze_projector (:50-54,81-85); under PEFT only
     LoRA (+ optionally embeddings, use_emb :119-123) train in the LLM.
+
+    Only floating-point array leaves can be trainable: static metadata
+    leaves (head counts in projector params, int8 'scale'/'q8' payloads)
+    must never reach ``value_and_grad`` — they stay in the frozen
+    partition like requires_grad=False buffers.
     """
+    def differentiable(leaf) -> bool:
+        dt = getattr(leaf, "dtype", None)
+        return dt is not None and jnp.issubdtype(dt, jnp.floating)
+
     def const(tree, value):
-        return jax.tree_util.tree_map(lambda _: value, tree)
+        return jax.tree_util.tree_map(
+            lambda leaf: value and differentiable(leaf), tree
+        )
 
     mask: Params = {}
     mask["encoder"] = const(model.params["encoder"], not train_config.freeze_encoder)
@@ -525,6 +554,8 @@ def trainable_mask(model: TasuModel, train_config) -> Params:
 
     if train_config.use_peft:
         def llm_label(path, leaf):
+            if not differentiable(leaf):
+                return False
             keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
             if any(str(k) in ("lora_a", "lora_b") for k in keys):
                 return True

@@ -92,24 +92,10 @@ def _align_row(
         stacked = jnp.stack([stay, prev1, prev2])            # [3, S]
         best = jnp.argmax(stacked, axis=0)                   # [3 -> back idx]
         new_alpha = jnp.max(stacked, axis=0) + emit_t
-        return new_alpha, best
+        return new_alpha, (best, new_alpha)
 
-    alphas, backs = jax.lax.scan(step, alpha0, emit[1:])     # backs [T-1, S]
-
-    # stack alpha trajectory to recover the final alpha at input_len-1
-    def collect(alpha, x):
-        emit_t, _ = x
-        stay = alpha
-        prev1 = jnp.concatenate([jnp.array([NEG_INF]), alpha[:-1]])
-        prev2 = jnp.where(
-            skip_ok,
-            jnp.concatenate([jnp.full((2,), NEG_INF), alpha[:-2]]),
-            NEG_INF,
-        )
-        new_alpha = jnp.max(jnp.stack([stay, prev1, prev2]), axis=0) + emit_t
-        return new_alpha, new_alpha
-
-    _, alpha_traj = jax.lax.scan(collect, alpha0, (emit[1:], backs))
+    # one pass yields both backpointers and the alpha trajectory
+    _, (backs, alpha_traj) = jax.lax.scan(step, alpha0, emit[1:])
     alpha_all = jnp.concatenate([alpha0[None], alpha_traj])  # [T, S]
 
     final_alpha = alpha_all[jnp.maximum(input_len - 1, 0)]   # [S]

@@ -238,6 +238,9 @@ def spec_augment(
     kt, kf = jax.random.split(key)
 
     def masks(key, count, limit, width, size):
+        # limit may be per-row [B,1]: mask starts are drawn inside each
+        # row's valid region, not the padded static length — otherwise
+        # short utterances in long buckets get mostly no-op masks
         starts = jax.random.randint(key, (b, count), 0, jnp.maximum(limit, 1))
         widths = jax.random.randint(
             jax.random.fold_in(key, 1), (b, count), 0, width + 1
@@ -246,7 +249,7 @@ def spec_augment(
         hit = (pos >= starts[..., None]) & (pos < (starts + widths)[..., None])
         return jnp.any(hit, axis=1)  # [B, size]
 
-    t_mask = masks(kt, num_t_masks, t, t_width, t)
+    t_mask = masks(kt, num_t_masks, lens[:, None], t_width, t)
     t_mask = t_mask & (jnp.arange(t)[None] < lens[:, None])
     f_mask = masks(kf, num_f_masks, d, f_width, d)
     out = jnp.where(t_mask[..., None], 0.0, feats)

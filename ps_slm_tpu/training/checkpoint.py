@@ -452,6 +452,11 @@ def import_reference_checkpoint(
     """Load a composite pytorch_model.bin with strict=False semantics
     (ps-slm.py:163-170): load every matching key, report the rest.
 
+    Deviation from torch's per-leaf strict=False: each module (llm /
+    encoder / projector) loads atomically — a checkpoint missing one
+    tensor of a module raises ``KeyError("partial … checkpoint")``
+    rather than silently mixing checkpoint and init weights.
+
     Returns the list of loaded reference keys.
     """
     from ps_slm_tpu.models import qwen2 as q
@@ -507,10 +512,16 @@ def import_reference_checkpoint(
         if k.startswith("encoder.") and not k.startswith("encoder_projector.")
     }
     if enc_tensors:
-        model.params["encoder"] = sv.funasr_tensors_to_params(
-            enc_tensors, model.enc_cfg, dtype
-        )
-        loaded += [f"encoder.{k}" for k in enc_tensors]
+        try:
+            enc_consumed: set = set()
+            model.params["encoder"] = sv.funasr_tensors_to_params(
+                enc_tensors, model.enc_cfg, dtype, consumed=enc_consumed
+            )
+            # same honesty rule as the llm branch: only keys the mapper
+            # actually read count as loaded
+            loaded += [f"encoder.{k}" for k in enc_tensors if k in enc_consumed]
+        except KeyError as e:
+            raise KeyError(f"partial encoder checkpoint, missing {e}") from e
 
     # encoder_projector.*
     new_proj, proj_loaded = reference_to_projector(

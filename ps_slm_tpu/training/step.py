@@ -53,7 +53,12 @@ def make_train_step(
 
 def make_eval_step(model: "tasu.TasuModel") -> Callable:
     def eval_step(params, batch):
-        loss, aux = tasu.forward(model, params, batch, jax.random.PRNGKey(0))
+        # train=False = torch model.eval(): LoRA dropout / dither /
+        # SpecAugment off.  The fixed key keeps gt_emb_noise (which the
+        # reference applies unconditionally in forward) deterministic.
+        loss, aux = tasu.forward(
+            model, params, batch, jax.random.PRNGKey(0), train=False
+        )
         return {"loss": loss, "acc": aux["acc"], "ntokens": aux["ntokens"]}
 
     return jax.jit(eval_step)

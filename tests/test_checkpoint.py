@@ -164,10 +164,10 @@ def test_qformer_keymap_roundtrip():
 
     cfg = ModelConfig(
         encoder_projector="q-former", encoder_dim=16, llm_dim=24,
-        qformer_layers=3, query_len=4,
+        qformer_layers=3, qformer_heads=4, query_len=4,
     )
     p = proj.init_qformer(
-        jax.random.PRNGKey(0), cfg, hidden=32, heads=4, intermediate=64,
+        jax.random.PRNGKey(0), cfg, hidden=32, intermediate=64,
     )
     tensors = ckpt.projector_to_reference(p, "q-former")
     # every exported name is in the HF layout
@@ -182,17 +182,12 @@ def test_qformer_keymap_roundtrip():
     assert "encoder_projector.qformer.encoder.layer.2.crossattention.attention.key.weight" in tensors
 
     p2 = proj.init_qformer(
-        jax.random.PRNGKey(7), cfg, hidden=32, heads=4, intermediate=64,
+        jax.random.PRNGKey(7), cfg, hidden=32, intermediate=64,
     )
     out, loaded = ckpt.reference_to_projector(tensors, p2, "q-former")
     assert sorted(loaded) == sorted(tensors)
     for a, b in zip(
-        jax.tree_util.tree_leaves(
-            {k: v for k, v in p.items() if k != "heads"}
-        ),
-        jax.tree_util.tree_leaves(
-            {k: v for k, v in out.items() if k != "heads"}
-        ),
+        jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(out)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -211,7 +206,7 @@ def test_qformer_activation_parity_vs_hf():
     enc_dim, llm_dim, hidden, heads, inter, layers, qlen = 16, 24, 32, 4, 64, 3, 4
     cfg = ModelConfig(
         encoder_projector="q-former", encoder_dim=enc_dim, llm_dim=llm_dim,
-        qformer_layers=layers, query_len=qlen,
+        qformer_layers=layers, qformer_heads=heads, query_len=qlen,
     )
 
     torch.manual_seed(0)
@@ -261,3 +256,30 @@ def test_qformer_activation_parity_vs_hf():
         p, cfg, jnp.asarray(x), jnp.asarray(atts)
     ))
     np.testing.assert_allclose(ours, tref, atol=2e-5, rtol=1e-4)
+
+
+def test_encoder_import_honesty(tmp_path):
+    """strict=False honesty for the encoder branch (mirrors the llm one):
+    unrecognized encoder.* keys are never reported as loaded, and a
+    partial encoder checkpoint raises a clear per-module error instead of
+    a raw mapper KeyError."""
+    a = _model(seed=0)
+    b = _model(seed=1)
+    path = str(tmp_path / "full.bin")
+    tensors = ckpt.export_reference_checkpoint(a, path)
+
+    stray = dict(tensors)
+    stray["encoder.some_renamed.weight"] = np.zeros((2, 2), np.float32)
+    loaded = ckpt.import_reference_checkpoint(b, stray)
+    assert "encoder.some_renamed.weight" not in loaded
+    enc_keys = [
+        k for k in tensors
+        if k.startswith("encoder.") and not k.startswith("encoder_projector.")
+    ]
+    assert enc_keys and all(k in loaded for k in enc_keys)
+
+    partial = {
+        k: v for k, v in tensors.items() if k != "encoder.ctc.ctc_lo.weight"
+    }
+    with pytest.raises(KeyError, match="partial encoder checkpoint"):
+        ckpt.import_reference_checkpoint(_model(seed=2), partial)

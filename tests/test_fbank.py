@@ -196,3 +196,24 @@ def test_specaug_wiring_in_frontend():
     ev_on, _ = frontend(wav, lens, key, cfg=cfg_on, train=False)
     ev_off, _ = frontend(wav, lens, key, cfg=cfg_off, train=False)
     np.testing.assert_array_equal(np.asarray(ev_on), np.asarray(ev_off))
+
+
+def test_spec_augment_time_masks_sample_valid_region():
+    """Mask starts are drawn inside each row's valid length, not the padded
+    static T — a short row in a long bucket must still get real time masks
+    (regression: starts over [0, T) made ~90%% of masks land in padding)."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 500, 8)).astype(np.float32)) + 10.0
+    lens = jnp.asarray([6])
+    hits = 0
+    for seed in range(20):
+        y = np.asarray(fb.spec_augment(
+            x, lens, jax.random.PRNGKey(seed),
+            num_t_masks=2, t_width=50, num_f_masks=0, f_width=0,
+        ))
+        if (y[0, :6] == 0.0).any():
+            hits += 1
+    # start ~ U[0, 6), width ~ U[0, 50]: a mask is a no-op only at width 0,
+    # so nearly every draw must touch the valid region (padded-T sampling
+    # managed ~2% per mask)
+    assert hits >= 15, hits

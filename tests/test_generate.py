@@ -278,3 +278,33 @@ def test_speculative_window_1_raises():
             jnp.zeros((2, 4), jnp.int32), jnp.zeros((2,), jnp.int32),
             max_new_tokens=4, eos_token_id=EOS, window=1,
         )
+
+
+def test_default_positions_with_per_row_cache_index():
+    """position_ids=None with 1-D (per-row) cache_index — the slot-pool
+    layout — must broadcast the offset over S, not crash (regression)."""
+    cfg, params = _model()
+    b, cap = 2, 8
+    nl = cfg.num_hidden_layers
+    cache = {
+        "k": jnp.zeros((nl, b, cap, cfg.num_key_value_heads, cfg.head_dim),
+                       jnp.float32),
+        "v": jnp.zeros((nl, b, cap, cfg.num_key_value_heads, cfg.head_dim),
+                       jnp.float32),
+    }
+    idx = jnp.asarray([2, 5], jnp.int32)
+    am = jnp.arange(cap)[None, :] <= idx[:, None]
+    ids = jnp.asarray([[3], [7]], jnp.int32)
+    x = qwen2.embed(params, ids)
+
+    out_default, _ = qwen2.forward(
+        params, cfg, x, attention_mask=am, cache=cache, cache_index=idx,
+        use_flash=False,
+    )
+    out_expl, _ = qwen2.forward(
+        params, cfg, x, attention_mask=am, position_ids=idx[:, None],
+        cache=cache, cache_index=idx, use_flash=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_default), np.asarray(out_expl), rtol=1e-6
+    )

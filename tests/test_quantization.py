@@ -191,3 +191,60 @@ def test_quantization_survives_checkpoint_import(tmp_path):
     got = np.asarray(dequantize_kernel(layers["q_proj"]))
     want = np.asarray(src.params["llm"]["layers"]["q_proj"]["kernel"])
     assert np.max(np.abs(got - want)) < np.max(np.abs(want)) / 64
+
+
+def test_merge_lora_on_q8_base():
+    """merge_lora folds adapters into a dequantized bf16 kernel on QLoRA
+    nodes instead of KeyErroring on the missing 'kernel'."""
+    from types import SimpleNamespace
+
+    from ps_slm_tpu.models import qwen2
+    from ps_slm_tpu.models.lora import add_lora, merge_lora
+    from ps_slm_tpu.models.quantization import dequantize_kernel
+
+    cfg = qwen2.Qwen2Config.tiny()
+    params = quantize_llm(qwen2.init_params(jax.random.PRNGKey(0), cfg))
+    peft = SimpleNamespace(r=4, lora_alpha=8, target_modules=["q_proj"])
+    params = add_lora(params, peft, jax.random.PRNGKey(1))
+    node = dict(params["layers"]["q_proj"])
+    node["lora_b"] = jnp.full_like(node["lora_b"], 0.02)
+    params["layers"]["q_proj"] = node
+
+    merged = merge_lora(params)
+    m = merged["layers"]["q_proj"]
+    assert "q8" not in m and "scale" not in m and "lora_a" not in m
+    assert m["kernel"].dtype == jnp.bfloat16
+
+    want = (
+        np.asarray(dequantize_kernel(node), np.float32)
+        + np.einsum(
+            "lir,lro->lio",
+            np.asarray(node["lora_a"], np.float32),
+            np.asarray(node["lora_b"], np.float32),
+        ) * np.asarray(node["lora_scale"], np.float32)[:, None, None]
+    )
+    got = np.asarray(m["kernel"], np.float32)
+    np.testing.assert_allclose(got, want, atol=0.01, rtol=0.01)
+    # untouched projection is still quantized
+    assert "q8" in merged["layers"]["k_proj"]
+
+
+def test_lora_init_matches_peft_bound():
+    """A ~ U[-1/sqrt(fan_in), 1/sqrt(fan_in)] (peft kaiming_uniform_
+    a=sqrt(5)); regression: the bound was sqrt(3)x too large."""
+    import math
+    from types import SimpleNamespace
+
+    from ps_slm_tpu.models import qwen2
+    from ps_slm_tpu.models.lora import add_lora
+
+    cfg = qwen2.Qwen2Config.tiny()
+    params = qwen2.init_params(jax.random.PRNGKey(0), cfg)
+    peft = SimpleNamespace(r=16, lora_alpha=32, target_modules=["q_proj"])
+    p = add_lora(params, peft, jax.random.PRNGKey(1))
+    a = np.asarray(p["layers"]["q_proj"]["lora_a"], np.float32)
+    d_in = a.shape[1]
+    bound = 1.0 / math.sqrt(d_in)
+    assert np.abs(a).max() <= bound + 1e-6
+    assert np.abs(a).max() > 0.8 * bound          # spans the range
+    assert abs(a.std() - bound / math.sqrt(3)) < 0.15 * bound

@@ -204,3 +204,85 @@ def test_text_only_training_loss_decreases():
     assert not np.allclose(
         np.asarray(state.params["projector"]["ffn1"]["kernel"]), proj0
     )
+
+
+def test_projector_params_jit_trainable():
+    """Head counts are static config, never param leaves (regression: an
+    int32 'n_heads' leaf became a tracer under jit and broke the reshape;
+    value_and_grad also rejected it when the projector was trainable).
+    The jitted train step must run with a trainable cross-attention
+    projector, and no projector may carry non-float leaves."""
+    from ps_slm_tpu.training.step import make_train_step
+    from ps_slm_tpu.training.train_state import (
+        build_optimizer, create_train_state,
+    )
+
+    model, tc = _mk_model(
+        projector="cross-attention", ctc_posterior=True, cross_attn=True,
+        freeze_llm=True, freeze_encoder=True,
+        lr=1e-3, warmup_steps=1, total_steps=10,
+    )
+    assert "n_heads" not in model.params["projector"]
+    mask = trainable_mask(model, tc)
+    assert mask["projector"]["w_q"]["kernel"] is True
+
+    tx, _ = build_optimizer(tc)
+    state = create_train_state(model.params, tx, mask)
+    step = make_train_step(model, tx, trainable=mask)
+    batch = _mk_batch(np.random.default_rng(8), with_gt=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # every projector in the zoo: float-array leaves only
+    from ps_slm_tpu.config import ModelConfig
+    from ps_slm_tpu.models import projector as proj
+
+    for name in ("simple_linear", "linear", "cov1d-linear", "linear-silu",
+                  "cross-attention", "q-former"):
+        cfg = ModelConfig(
+            encoder_projector=name, encoder_dim=24, llm_dim=36,
+            encoder_projector_ds_rate=2, qformer_layers=2, qformer_heads=4,
+            query_len=4,
+        )
+        p = proj.init_projector(jax.random.PRNGKey(0), cfg)
+        for leaf in jax.tree_util.tree_leaves(p):
+            assert hasattr(leaf, "dtype") and jnp.issubdtype(
+                leaf.dtype, jnp.floating
+            ), (name, leaf)
+
+
+def test_eval_mode_disables_stochastic_paths():
+    """train=False = torch model.eval(): LoRA dropout (and dither /
+    SpecAugment) off — eval loss is rng-independent; the training path
+    with the same params is not (regression: eval ran with dropout)."""
+    import jax.tree_util as jtu
+
+    model, tc = _mk_model(
+        ctc_posterior=True, gt_emb=True, use_peft=True, freeze_llm=True,
+        freeze_encoder=True,
+    )
+    assert model.lora_dropout > 0.0
+    batch = _mk_batch(np.random.default_rng(9), with_audio=False)
+
+    def bump(path, leaf):
+        if any(str(getattr(p, "key", "")) == "lora_b" for p in path):
+            return jnp.ones_like(leaf) * 0.05
+        return leaf
+
+    model.params["llm"] = jtu.tree_map_with_path(bump, model.params["llm"])
+
+    lt1, _ = forward(model, model.params, batch, jax.random.PRNGKey(1))
+    lt2, _ = forward(model, model.params, batch, jax.random.PRNGKey(2))
+    assert float(lt1) != float(lt2)  # train mode: dropout active
+
+    le1, _ = forward(model, model.params, batch, jax.random.PRNGKey(1),
+                     train=False)
+    le2, _ = forward(model, model.params, batch, jax.random.PRNGKey(2),
+                     train=False)
+    assert float(le1) == float(le2)  # eval mode: rng-independent
+
+    # the jitted eval step agrees with the dropout-free forward
+    from ps_slm_tpu.training.step import make_eval_step
+
+    ev = make_eval_step(model)(model.params, batch)
+    np.testing.assert_allclose(float(ev["loss"]), float(le1), rtol=1e-6)
