@@ -93,6 +93,7 @@ def main(argv=None):
 
     mesh = meshlib.build_mesh(tc.mesh_shape)
     model.mesh = mesh if len(jax.devices()) > 1 else None
+    model.pp_microbatches = tc.pp_microbatches
     model.params = meshlib.shard_params(model.params, mesh, tc.fsdp_min_size)
     trainable = trainable_mask(model, tc)
     from ps_slm_tpu.utils.logging import log_model_size

@@ -147,8 +147,9 @@ class TrainConfig:
     resume_from: Optional[str] = None
     device: Optional[int] = 0
     # --- parallelism (TPU-native; replaces ds_config.json ZeRO-2 semantics) ---
-    mesh_shape: Optional[dict] = None     # e.g. {"data": 4, "fsdp": 2}; None = all "data"
+    mesh_shape: Optional[dict] = None     # e.g. {"data": 4, "fsdp": 2} (+ "tensor"/"pipe"); None = all "data"
     fsdp_min_size: int = 2 ** 16          # only shard params at least this big
+    pp_microbatches: int = 0              # GPipe microbatches when mesh has pipe>1 (0 = 2 x stages)
     remat: bool = False                   # jax.checkpoint on transformer blocks
     # decode settings (HF generate kwargs surface, ps-slm.py:660-675)
     max_new_tokens: int = 200

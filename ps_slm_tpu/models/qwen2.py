@@ -394,6 +394,8 @@ def forward(
     remat: bool = False,
     lora_dropout_rng: Optional[jax.Array] = None,
     lora_dropout: float = 0.0,
+    pipeline_mesh=None,
+    pp_microbatches: int = 0,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Run the decoder stack. Returns (last_hidden, new_cache).
 
@@ -405,6 +407,10 @@ def forward(
     lora_dropout*:  train-mode peft lora_dropout on the adapter inputs
                     (aispeech_asr_config.py:48); active only when both the
                     rate and an rng are supplied (training path, no cache).
+    pipeline_mesh:  a Mesh whose ``pipe`` axis is > 1 routes the (no-cache)
+                    layer stack through the GPipe schedule
+                    (parallel/pipeline.py) with ``pp_microbatches``
+                    microbatches; cache paths always use the plain scan.
     """
     b, s, _ = inputs_embeds.shape
     if position_ids is None:
@@ -451,6 +457,32 @@ def forward(
             body, x, (params["layers"], cache_kv_stacked), unroll=unroll
         )
         new_cache = {"k": new_k, "v": new_v}
+    elif (
+        pipeline_mesh is not None
+        and pipeline_mesh.shape.get("pipe", 1) > 1
+    ):
+        from ps_slm_tpu.parallel.pipeline import pipeline_apply
+
+        use_lora_drop = lora_dropout > 0.0 and lora_dropout_rng is not None
+        layer_keys = (
+            jax.random.split(lora_dropout_rng, cfg.num_hidden_layers)
+            if use_lora_drop else None
+        )
+
+        def block_fn(lp, xb, pos, msk, lkey):
+            xb, _ = _block(
+                lp, cfg, xb, pos, msk, None, None, use_flash,
+                lora_key=lkey,
+                lora_dropout=lora_dropout if use_lora_drop else 0.0,
+            )
+            return xb
+
+        x = pipeline_apply(
+            pipeline_mesh, block_fn, params["layers"], x, position_ids,
+            attention_mask, layer_keys, n_micro=pp_microbatches,
+            remat=remat,
+        )
+        new_cache = None
     else:
         use_lora_drop = lora_dropout > 0.0 and lora_dropout_rng is not None
         n_layers = cfg.num_hidden_layers

@@ -113,6 +113,8 @@ class TasuModel:
     fbank_cfg: Any = None            # FbankConfig for the on-device front end
     mesh: Any = None                 # set for multi-device runs: batch-dim
                                      # sharding constraints on merged tensors
+    pp_microbatches: int = 0         # GPipe microbatches when the mesh has a
+                                     # pipe axis > 1 (0 = 2 x stages)
 
 
 # ----------------------------------------------------------------------------
@@ -377,6 +379,8 @@ def forward(
             if (train and rng is not None and model.lora_dropout > 0.0)
             else None
         ),
+        pipeline_mesh=model.mesh,
+        pp_microbatches=model.pp_microbatches,
     )
 
     labels = merged.labels

@@ -4,6 +4,8 @@ The reference scales with DeepSpeed ZeRO-2 data parallelism over NCCL
 (``conf/ds_config.json:15-21``, ``deepspeed_utils.py:516-519``).  The
 TPU-native design (SURVEY.md §2.C): one ``jax.sharding.Mesh`` with axes
 
+  pipe   optional GPipe pipeline axis (outermost, DCN-friendly): shards the
+         stacked LLM layer axis; schedule in parallel/pipeline.py
   data   pure data parallelism (params replicated)
   fsdp   param/optimizer-state sharding axis — batch is also split here,
          so (data×fsdp) together form the global batch axis, while large
@@ -43,15 +45,15 @@ def build_mesh(
     n = len(devices)
     if not mesh_shape:
         mesh_shape = {"data": n}
-    shape = {"data": 1, "fsdp": 1, "tensor": 1}
+    shape = {"pipe": 1, "data": 1, "fsdp": 1, "tensor": 1}
     shape.update(mesh_shape)
-    total = shape["data"] * shape["fsdp"] * shape["tensor"]
+    total = shape["pipe"] * shape["data"] * shape["fsdp"] * shape["tensor"]
     if total != n:
         raise ValueError(f"mesh {shape} needs {total} devices, have {n}")
     arr = np.asarray(devices).reshape(
-        shape["data"], shape["fsdp"], shape["tensor"]
+        shape["pipe"], shape["data"], shape["fsdp"], shape["tensor"]
     )
-    return Mesh(arr, ("data", "fsdp", "tensor"))
+    return Mesh(arr, ("pipe", "data", "fsdp", "tensor"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -91,19 +93,35 @@ def _tp_spec(path_keys, shape, tensor_size: int):
 
 
 def _param_spec(
-    path_keys, shape, fsdp_size: int, min_size: int, tensor_size: int = 1
+    path_keys, shape, fsdp_size: int, min_size: int, tensor_size: int = 1,
+    pipe_size: int = 1,
 ) -> P:
-    """Sharding rule: optional tensor-parallel placement first, then FSDP on
-    the largest remaining dimension divisible by fsdp_size for leaves with
-    >= min_size elements; replicate the rest.
+    """Sharding rule: optional pipeline placement of the stacked LLM layer
+    axis, then tensor-parallel placement, then FSDP on the largest remaining
+    dimension divisible by fsdp_size for leaves with >= min_size elements;
+    replicate the rest.
 
-    For stacked-layer leaves (leading axis = layer) the layer axis is never
-    sharded (scan carries it).
+    Without a pipe axis, stacked-layer leaves (leading axis = layer) never
+    shard the layer axis (scan carries it); with pipe > 1 the layer axis is
+    sharded over ``pipe`` so each stage holds its L/P chunk resident —
+    matching parallel/pipeline.py's shard_map in_specs, so no resharding
+    happens at the pipeline boundary.
     """
+    names = {str(k) for k in path_keys}
+    # LLM decoder stack only (the q-former projector also has a "layers"
+    # key, and the encoder has its own stacks — those are not pipelined)
+    llm_stacked = (
+        "layers" in names and not (names & {"projector", "encoder"})
+    )
     spec = [None] * len(shape)
+    if (
+        pipe_size > 1 and llm_stacked and len(shape) > 1
+        and shape[0] % pipe_size == 0
+    ):
+        spec[0] = "pipe"
     if tensor_size > 1 and int(np.prod(shape)) >= min_size:
         tp = _tp_spec(path_keys, shape, tensor_size)
-        if tp is not None:
+        if tp is not None and spec[tp[0]] is None:
             spec[tp[0]] = tp[1]
     if fsdp_size <= 1 or int(np.prod(shape)) < min_size:
         return P(*spec)
@@ -124,11 +142,13 @@ def param_shardings(
     """Pytree of NamedShardings implementing the TP + FSDP rules."""
     fsdp_size = mesh.shape["fsdp"]
     tensor_size = mesh.shape.get("tensor", 1)
+    pipe_size = mesh.shape.get("pipe", 1)
 
     def one(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         spec = _param_spec(
-            keys, jnp.shape(leaf), fsdp_size, min_size, tensor_size
+            keys, jnp.shape(leaf), fsdp_size, min_size, tensor_size,
+            pipe_size,
         )
         return NamedSharding(mesh, spec)
 

@@ -55,7 +55,7 @@ def test_mesh_shapes():
     m = meshlib.build_mesh(None)
     assert m.shape["data"] == 8
     m2 = meshlib.build_mesh({"data": 2, "fsdp": 4})
-    assert m2.shape == {"data": 2, "fsdp": 4, "tensor": 1}
+    assert m2.shape == {"pipe": 1, "data": 2, "fsdp": 4, "tensor": 1}
     with pytest.raises(ValueError):
         meshlib.build_mesh({"data": 3})
 
