@@ -71,7 +71,7 @@ def abstract_model(tc, mc, dtype):
 
 
 def plan(topology: str, mesh_shape: dict, batch_per_chip: int,
-         remat: bool = False) -> dict:
+         remat: bool = False, pp_microbatches: int = 0) -> dict:
     import jax
     from jax.experimental import topologies
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -103,6 +103,7 @@ def plan(topology: str, mesh_shape: dict, batch_per_chip: int,
     model = abstract_model(tc, mc, dtype)
     model.speech_token_id = LLM_OVER["vocab_size"] - 2
     model.mesh = mesh
+    model.pp_microbatches = pp_microbatches
 
     trainable = trainable_mask(model, tc)
     tx, _ = build_optimizer(tc, trainable)
@@ -117,7 +118,7 @@ def plan(topology: str, mesh_shape: dict, batch_per_chip: int,
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         spec = meshlib._param_spec(
             keys, leaf.shape, mesh.shape["fsdp"], 2 ** 16,
-            mesh.shape.get("tensor", 1),
+            mesh.shape.get("tensor", 1), mesh.shape.get("pipe", 1),
         ) if leaf.ndim > 0 else P()
         return jax.ShapeDtypeStruct(
             leaf.shape, leaf.dtype, sharding=NamedSharding(mesh, spec)
@@ -158,6 +159,7 @@ def plan(topology: str, mesh_shape: dict, batch_per_chip: int,
         "global_batch": b,
         "frames": FRAMES,
         "remat": remat,
+        "pp_microbatches": pp_microbatches or None,
         "argument_gb": round(ma.argument_size_in_bytes / 2 ** 30, 3),
         "temp_gb": round(ma.temp_size_in_bytes / 2 ** 30, 3),
         "total_per_device_gb": round(per_dev / 2 ** 30, 3),
@@ -172,6 +174,8 @@ def main(argv=None):
     topology = "v5e:4x4"
     batch_per_chip = 5
     meshes = None
+    remat = False
+    pp_microbatches = 0
     for a in argv:
         if a.startswith("--topology="):
             topology = a.split("=", 1)[1]
@@ -179,6 +183,10 @@ def main(argv=None):
             batch_per_chip = int(a.split("=", 1)[1])
         elif a.startswith("--mesh="):
             meshes = [json.loads(a.split("=", 1)[1])]
+        elif a == "--remat":
+            remat = True
+        elif a.startswith("--pp-microbatches="):
+            pp_microbatches = int(a.split("=", 1)[1])
 
     from jax.experimental import topologies
 
@@ -191,10 +199,15 @@ def main(argv=None):
         while d <= n:
             meshes.append({"data": d, "fsdp": n // d})
             d *= 2
+        # GPipe candidates (parallel/pipeline.py): each stage holds L/P
+        # layers resident, trading ppermute hops for HBM headroom
+        for p in (2, 4):
+            if n % p == 0:
+                meshes.append({"pipe": p, "data": 1, "fsdp": n // p})
     results = []
     for m in meshes:
         try:
-            r = plan(topology, m, batch_per_chip)
+            r = plan(topology, m, batch_per_chip, remat, pp_microbatches)
         except Exception as e:  # OOM-at-compile or unsupported mesh
             r = {
                 "metric": "memory_plan", "topology": topology, "mesh": m,
