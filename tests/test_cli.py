@@ -173,6 +173,28 @@ def test_finetune_cli_uneven_buckets_pad_to_mesh(fixtures):
     assert rc == 0
 
 
+def test_finetune_cli_pipeline_mesh(fixtures):
+    """End-to-end finetune over a pipe x data x fsdp mesh: config parsing,
+    build_mesh with the pipe axis, pp_microbatches plumb-through, and the
+    pipelined train step inside the real loop (parallel/pipeline.py)."""
+    from ps_slm_tpu.cli.finetune import main
+
+    out_dir = fixtures / "out_pipe"
+    rc = main(_common_args(fixtures) + [
+        f"++train_config.output_dir={out_dir}",
+        '++train_config.mesh_shape={"pipe": 2, "data": 2, "fsdp": 2}',
+        "++train_config.pp_microbatches=2",
+        "++train_config.num_epochs=1",
+        "++train_config.validation_interval=1",
+        "++train_config.lr=1e-3",
+        "++train_config.warmup_steps=1",
+        "++train_config.total_steps=20",
+    ])
+    assert rc == 0
+    ckpts = [p for p in out_dir.iterdir() if p.name.startswith("step_")]
+    assert ckpts, list(out_dir.iterdir())
+
+
 
 
 def _assert_near_identical(a, b, min_identical_frac=0.5):
