@@ -150,6 +150,42 @@ def test_pipeline_lora_dropout():
     )
 
 
+def test_pipeline_qlora_int8_base():
+    """QLoRA under the pipe mesh: int8 q8/scale leaves shard over pipe too
+    (dim-0 chunks per stage), q8_matmul runs inside the shard_map stage, and
+    the result matches the unpipelined QLoRA forward."""
+    from types import SimpleNamespace
+
+    from ps_slm_tpu.models.lora import add_lora
+    from ps_slm_tpu.models.quantization import quantize_llm
+
+    cfg, params = _llm()
+    params = quantize_llm(params)
+    peft = SimpleNamespace(r=4, lora_alpha=8, target_modules=["q_proj"])
+    params = add_lora(params, peft, jax.random.PRNGKey(3))
+    node = dict(params["layers"]["q_proj"])
+    node["lora_b"] = jnp.full_like(node["lora_b"], 0.02)
+    params["layers"]["q_proj"] = node
+
+    mesh = meshlib.build_mesh({"pipe": 2, "data": 4})
+    sh = meshlib.param_shardings(params, mesh, min_size=1)
+    assert sh["layers"]["q_proj"]["q8"].spec[0] == "pipe"
+    assert sh["layers"]["q_proj"]["scale"].spec[0] == "pipe"
+
+    ids, mask = _inputs(cfg)
+    x = qwen2.embed(params, ids)
+    want, _ = qwen2.forward(
+        params, cfg, x, attention_mask=mask, use_flash=False
+    )
+    got, _ = qwen2.forward(
+        params, cfg, x, attention_mask=mask, use_flash=False,
+        pipeline_mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_pipe_param_sharding_rule():
     """pipe>1 shards the LLM stacked layer axis (and only the LLM's: the
     q-former projector also has a 'layers' key)."""
