@@ -168,6 +168,12 @@ def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndar
     ``GlobalBatcher`` host slice) and the global array is assembled from the
     per-process chunks — the TPU-native replacement for the reference's
     per-rank DataLoader + NCCL world (``deepspeed_utils.py:154-178``).
+
+    With a ``pipe`` axis spanning processes the batch is pipe-REPLICATED:
+    a process whose devices cover every data shard must pass the FULL
+    global batch (its GlobalBatcher group is its position along the batch
+    axes, not its raw process id) — tests/multihost_runner.py shows both
+    feeds.
     """
     sh = batch_sharding(mesh)
     if jax.process_count() > 1:

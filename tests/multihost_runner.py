@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--num-processes", type=int, default=1)
     ap.add_argument("--coordinator", default="localhost:9876")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--mesh", default=None,
+                    help='JSON mesh shape, e.g. {"pipe": 2, "data": 4}')
     args = ap.parse_args()
 
     n_local = 8 // args.num_processes
@@ -67,7 +69,14 @@ def main():
     model.speech_token_id = SPEECH
     model.use_flash = False
 
-    mesh = meshlib.build_mesh(None)
+    import json
+
+    mesh_shape = json.loads(args.mesh) if args.mesh else None
+    mesh = meshlib.build_mesh(mesh_shape)
+    if mesh.shape.get("pipe", 1) > 1:
+        # cross-process ppermute path (parallel/pipeline.py)
+        model.mesh = mesh
+        model.pp_microbatches = 2
     model.params = meshlib.shard_params(model.params, mesh)
     trainable = trainable_mask(model, tc)
     tx, _ = build_optimizer(tc, trainable)
@@ -89,11 +98,19 @@ def main():
             "gt_lens": np.full((b,), 6, np.int32),
             "batch_valid": np.ones((b,), bool),
         }
-        # host shard: the GlobalBatcher slice semantics (rows h::num_hosts)
-        local = {
-            k: v[args.process_id:: args.num_processes]
-            for k, v in gbatch.items()
-        }
+        if mesh.shape.get("pipe", 1) > 1:
+            # pipe spans processes: the batch is pipe-REPLICATED, so every
+            # process addresses all data shards and must feed the full
+            # global batch (per-host GlobalBatcher would use the host's
+            # data-axis group, not its raw process id)
+            local = gbatch
+        else:
+            # host shard: the GlobalBatcher slice semantics (rows
+            # h::num_hosts)
+            local = {
+                k: v[args.process_id:: args.num_processes]
+                for k, v in gbatch.items()
+            }
         dev = meshlib.shard_batch(
             {k: jnp.asarray(v) for k, v in local.items()}, mesh
         )

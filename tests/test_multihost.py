@@ -26,17 +26,19 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run(n_procs: int, steps: int = 3):
+def _run(n_procs: int, steps: int = 3, mesh: str = None):
     port = _free_port()
     env = {
         k: v for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
+    extra = [f"--mesh={mesh}"] if mesh else []
     procs = [
         subprocess.Popen(
             [sys.executable, RUNNER,
              f"--process-id={i}", f"--num-processes={n_procs}",
-             f"--coordinator=localhost:{port}", f"--steps={steps}"],
+             f"--coordinator=localhost:{port}", f"--steps={steps}"]
+            + extra,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             text=True,
         )
@@ -67,3 +69,14 @@ def test_distributed_matches_single_process(n_procs):
     np.testing.assert_allclose(multi[0], single, atol=1e-5)
     # training actually progresses
     assert single[-1] < single[0]
+
+
+def test_distributed_pipeline_matches_single_process():
+    """pipe2 x data4 over 2 REAL processes: lax.ppermute crosses the gRPC
+    process boundary (each process owns one pipeline stage's devices); the
+    loss must match the single-process data-parallel run."""
+    single = _run(1)[0]
+    multi = _run(2, mesh='{"pipe": 2, "data": 4}')
+    for other in multi[1:]:
+        np.testing.assert_allclose(multi[0], other, rtol=0, atol=0)
+    np.testing.assert_allclose(multi[0], single, atol=1e-5)
