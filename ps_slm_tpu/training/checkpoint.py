@@ -669,8 +669,35 @@ def save_train_state(path: str, state):
 
 
 def restore_train_state(path: str, abstract_state):
-    """Orbax restore with resharding onto abstract_state's shardings."""
+    """Orbax restore with resharding onto abstract_state's shardings.
+
+    Leaves the template holds on a single device (the ``step`` scalar and
+    any small replicated leaf created outside jit) would come back
+    COMMITTED to that one device while the params are mesh-sharded — a
+    mix the next jitted step rejects.  When the template carries a mesh,
+    such leaves are restored replicated over it instead.
+    """
+    import jax
     import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = None
+    for leaf in jax.tree_util.tree_leaves(abstract_state):
+        sh = getattr(leaf, "sharding", None)
+        if isinstance(sh, NamedSharding) and len(sh.mesh.devices.flat) > 1:
+            mesh = sh.mesh
+            break
+
+    if mesh is not None:
+        def target(leaf):
+            sh = getattr(leaf, "sharding", None)
+            if not isinstance(sh, NamedSharding):
+                sh = NamedSharding(mesh, PartitionSpec())
+            return jax.ShapeDtypeStruct(
+                jnp.shape(leaf), leaf.dtype, sharding=sh
+            )
+
+        abstract_state = jax.tree_util.tree_map(target, abstract_state)
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()

@@ -111,7 +111,12 @@ def train(
     Returns (state, history dict).
     """
     mesh = mesh or meshlib.build_mesh(train_config.mesh_shape)
-    step_fn = make_train_step(model, tx, trainable)
+    state_sh = None
+    if mesh is not None and mesh.devices.size > 1:
+        from ps_slm_tpu.training.step import canonical_state_shardings
+
+        state_sh = canonical_state_shardings(state, mesh)
+    step_fn = make_train_step(model, tx, trainable, state_shardings=state_sh)
     eval_step = make_eval_step(model) if eval_batches_fn else None
     timer = StepTimer()
     rng = jax.random.PRNGKey(train_config.seed)

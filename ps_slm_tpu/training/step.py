@@ -25,10 +25,41 @@ from ps_slm_tpu.training.train_state import (
 )
 
 
+def canonical_state_shardings(state: TrainState, mesh):
+    """NamedSharding pytree pinning every state leaf onto ``mesh``.
+
+    Leaves that already carry a NamedSharding (params/opt moments placed by
+    ``parallel.mesh.shard_params``) keep it; everything else (the ``step``
+    scalar, optimizer counters created uncommitted by ``tx.init``) is
+    replicated.  Used as explicit in/out shardings on the jitted train step
+    so the compiled program is a function of the *specs*, not of how the
+    incoming arrays happen to be placed — a freshly-initialized state and
+    an Orbax-restored one (committed leaves) then execute the same
+    executable, which is what makes resumed training bit-identical to an
+    uninterrupted run on a multi-device mesh.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    def one(leaf):
+        sh = getattr(leaf, "sharding", None)
+        return sh if isinstance(sh, NamedSharding) else repl
+
+    return jax.tree_util.tree_map(one, state)
+
+
 def make_train_step(
-    model: "tasu.TasuModel", tx, trainable: Optional[Dict] = None
+    model: "tasu.TasuModel", tx, trainable: Optional[Dict] = None,
+    state_shardings=None,
 ) -> Callable:
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    ``state_shardings`` (see :func:`canonical_state_shardings`) pins the
+    state argument/result shardings; it also removes the hidden step-0 →
+    step-1 recompile (uncommitted scalars in the fresh state otherwise give
+    the first call a different signature than subsequent ones).
+    """
     if trainable is None:
         trainable = jax.tree_util.tree_map(lambda _: True, model.params)
 
@@ -48,7 +79,13 @@ def make_train_step(
         metrics = {"loss": loss, "acc": aux["acc"], "ntokens": aux["ntokens"]}
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    kw = {}
+    if state_shardings is not None:
+        kw = dict(
+            in_shardings=(state_shardings, None, None),
+            out_shardings=(state_shardings, None),
+        )
+    return jax.jit(train_step, donate_argnums=(0,), **kw)
 
 
 def make_eval_step(model: "tasu.TasuModel") -> Callable:
