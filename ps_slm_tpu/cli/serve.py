@@ -14,7 +14,8 @@ Usage:
 Config knobs are the decode set: ``decode_slots``, ``max_new_tokens``,
 ``num_beams`` (>1 serves through the beam pool,
 inference/continuous_beam.py), ``speculative_ctc`` (+ ``spec_window``;
-greedy only), ``quantization`` (int8 weights).
+greedy only), ``quantization`` (int8 weights; ``quant_bits=4`` for
+group-wise int4).
 The pool keeps the device busy across requests; results stream as soon as
 each utterance finishes (docs/PERF.md serving numbers).
 """

@@ -143,6 +143,11 @@ class TrainConfig:
     peft_config: PeftConfig = field(default_factory=PeftConfig)
     output_dir: str = "out"
     quantization: bool = False
+    # weight-only bit width when quantization=true: 8 (reference
+    # load_in_8bit parity) or 4 (beyond reference: group-wise int4, s4
+    # HBM storage — models/quantization.py)
+    quant_bits: int = 8
+    q4_group_size: int = 128              # contraction-group size for int4 scales
     save_model: bool = True
     resume_from: Optional[str] = None
     device: Optional[int] = 0

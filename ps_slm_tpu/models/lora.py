@@ -45,9 +45,9 @@ def add_lora(llm_params: Params, peft_cfg, key, dtype=jnp.float32) -> Params:
         if target is None or target not in layers:
             continue
         node = dict(layers[target])
-        # base weight may be fp ("kernel") or int8-quantized ("q8"); both
+        # base weight may be fp ("kernel") or quantized ("q8"/"q4"); all
         # are [L, in, out]
-        kernel = node["kernel"] if "kernel" in node else node["q8"]
+        kernel = next(node[k] for k in ("kernel", "q8", "q4") if k in node)
         L, d_in, d_out = kernel.shape
         # peft default init: kaiming_uniform_(a=sqrt(5)) -> gain 1/sqrt(3),
         # bound = gain*sqrt(3/fan_in) = 1/sqrt(fan_in)
@@ -80,12 +80,18 @@ def merge_lora(llm_params: Params) -> Params:
             ) * node["lora_scale"].astype(jnp.float32)[:, None, None]
             if "kernel" in node:
                 base, out_dtype = node["kernel"], node["kernel"].dtype
-            else:
+            elif "q8" in node:
                 from ps_slm_tpu.models.quantization import dequantize_kernel
 
                 base, out_dtype = dequantize_kernel(node), jnp.bfloat16
                 node.pop("q8")
                 node.pop("scale")
+            else:
+                from ps_slm_tpu.models.quantization import dequantize_kernel4
+
+                base, out_dtype = dequantize_kernel4(node), jnp.bfloat16
+                node.pop("q4")
+                node.pop("scale4")
             node["kernel"] = (
                 base.astype(jnp.float32) + delta
             ).astype(out_dtype)

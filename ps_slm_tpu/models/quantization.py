@@ -1,4 +1,4 @@
-"""Int8 weight-only quantization for the LLM.
+"""Int8 / int4 weight-only quantization for the LLM.
 
 Parity for the reference's ``load_in_8bit`` path (``ps-slm.py:92-103``,
 bitsandbytes) re-designed for TPU: per-output-channel symmetric int8 on the
@@ -11,8 +11,20 @@ so no dequantized weight tensor is ever materialized — XLA fuses the
 int8->bf16 convert into the matmul operand read.  Halves LLM HBM traffic,
 which is the bound for small-batch decode.
 
-QLoRA composition: LoRA leaves coexist with q8 kernels (qwen2._linear adds
-the adapter delta after the quantized base matmul).
+Int4 (beyond the reference, which only has 8-bit): native XLA ``s4``
+storage (two nibbles per HBM byte — 4x less weight traffic than bf16)
+with GPTQ/AWQ-style *group-wise* symmetric scales along the contraction
+axis (default group 128), because one scale per output channel is too
+coarse at 4 bits.  The matmul becomes a per-group batched matmul with
+f32 accumulation:
+
+    y = sum_g (x[..., g, :] @ W_q4[g].astype(bf16)) * scale[g, o]
+
+which keeps a 128-deep contraction per group — exactly one pass through
+the MXU systolic array — so the grouping costs no MXU efficiency.
+
+QLoRA composition: LoRA leaves coexist with q8/q4 kernels (qwen2._linear
+adds the adapter delta after the quantized base matmul).
 """
 
 from __future__ import annotations
@@ -51,8 +63,64 @@ def q8_matmul(x: jnp.ndarray, node: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return y * node["scale"].astype(x.dtype)
 
 
-def quantize_llm(llm_params: Params) -> Params:
+def _group_size(in_features: int, group_size: int) -> int:
+    """Effective contraction-group size: the requested size when it divides
+    the in-features, else one full-depth group (tiny test models)."""
+    if group_size > 0 and in_features % group_size == 0:
+        return group_size
+    return in_features
+
+
+def quantize_kernel4(
+    kernel: jnp.ndarray, group_size: int = 128
+) -> Dict[str, jnp.ndarray]:
+    """[..., in, out] fp -> {"q4": int4[..., in, out],
+    "scale4": f32[..., in/gs, out]} — symmetric group-wise int4 (±7; the
+    -8 code is unused so the grid stays symmetric around 0)."""
+    w = kernel.astype(jnp.float32)
+    lead, (i, o) = w.shape[:-2], w.shape[-2:]
+    gs = _group_size(i, group_size)
+    wg = w.reshape(*lead, i // gs, gs, o)
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int4)
+    return {"q4": q.reshape(*lead, i, o), "scale4": scale.squeeze(-2)}
+
+
+def dequantize_kernel4(node: Dict[str, jnp.ndarray], dtype=jnp.float32):
+    q4, scale = node["q4"], node["scale4"]
+    lead, (i, o) = q4.shape[:-2], q4.shape[-2:]
+    gs = i // scale.shape[-2]
+    w = q4.astype(jnp.float32).reshape(*lead, i // gs, gs, o)
+    w = w * scale[..., :, None, :]
+    return w.reshape(*lead, i, o).astype(dtype)
+
+
+def q4_matmul(x: jnp.ndarray, node: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Group-wise int4 matmul: per-group bf16 batched matmul (one MXU pass
+    per 128-deep group), then the f32 scale contraction over groups.
+
+    ``node["q4"]`` must be the layer-sliced 2-D [in, out] block (this is
+    what ``qwen2._linear`` sees inside the layer scan)."""
+    q4, scale = node["q4"], node["scale4"]
+    i, o = q4.shape[-2], q4.shape[-1]
+    g = scale.shape[-2]
+    w = q4.astype(x.dtype).reshape(g, i // g, o)
+    xg = x.reshape(*x.shape[:-1], g, i // g)
+    part = jnp.einsum("...gi,gio->...go", xg, w)
+    y = jnp.einsum(
+        "...go,go->...o", part.astype(jnp.float32),
+        scale.astype(jnp.float32),
+    )
+    return y.astype(x.dtype)
+
+
+def quantize_llm(
+    llm_params: Params, bits: int = 8, group_size: int = 128
+) -> Params:
     """Quantize the projection kernels in the stacked layer pytree."""
+    if bits not in (4, 8):
+        raise ValueError(f"quant_bits must be 4 or 8, got {bits}")
     layers = dict(llm_params["layers"])
     for name in _QUANT_TARGETS:
         if name not in layers:
@@ -60,7 +128,10 @@ def quantize_llm(llm_params: Params) -> Params:
         node = dict(layers[name])
         if "kernel" not in node:
             continue
-        node.update(quantize_kernel(node.pop("kernel")))
+        if bits == 8:
+            node.update(quantize_kernel(node.pop("kernel")))
+        else:
+            node.update(quantize_kernel4(node.pop("kernel"), group_size))
         layers[name] = node
     out = dict(llm_params)
     out["layers"] = layers
@@ -68,7 +139,7 @@ def quantize_llm(llm_params: Params) -> Params:
 
 
 def dequantize_llm(llm_params: Params, dtype=jnp.bfloat16) -> Params:
-    """Inverse (checkpoint export)."""
+    """Inverse (checkpoint export); handles q8 and q4 nodes."""
     layers = dict(llm_params["layers"])
     for name, node in list(layers.items()):
         if isinstance(node, dict) and "q8" in node:
@@ -77,6 +148,26 @@ def dequantize_llm(llm_params: Params, dtype=jnp.bfloat16) -> Params:
             node.pop("q8")
             node.pop("scale")
             layers[name] = node
+        elif isinstance(node, dict) and "q4" in node:
+            node = dict(node)
+            node["kernel"] = dequantize_kernel4(node, dtype)
+            node.pop("q4")
+            node.pop("scale4")
+            layers[name] = node
     out = dict(llm_params)
     out["layers"] = layers
     return out
+
+
+def quant_spec(llm_params: Params):
+    """(bits, group_size) of a quantized LLM pytree, or None if fp.
+
+    Used by checkpoint import to re-quantize fresh weights with the same
+    scheme the factory chose (training/checkpoint.py)."""
+    for node in llm_params["layers"].values():
+        if isinstance(node, dict) and "q8" in node:
+            return 8, 0
+        if isinstance(node, dict) and "q4" in node:
+            i = node["q4"].shape[-2]
+            return 4, i // node["scale4"].shape[-2]
+    return None

@@ -287,6 +287,10 @@ def _linear(x, p, lora_ctx=None):
         from ps_slm_tpu.models.quantization import q8_matmul
 
         y = q8_matmul(x, p)
+    elif "q4" in p:  # group-wise int4 weight-only
+        from ps_slm_tpu.models.quantization import q4_matmul
+
+        y = q4_matmul(x, p)
     else:
         y = x @ p["kernel"]
     if "bias" in p:

@@ -493,10 +493,15 @@ def model_factory(
     }
 
     if train_config.quantization:
-        # int8 weight-only LLM (reference load_in_8bit, ps-slm.py:92-103)
+        # weight-only LLM: int8 (reference load_in_8bit, ps-slm.py:92-103)
+        # or group-wise int4 (quant_bits=4, beyond reference)
         from ps_slm_tpu.models.quantization import quantize_llm
 
-        params["llm"] = quantize_llm(params["llm"])
+        params["llm"] = quantize_llm(
+            params["llm"],
+            bits=getattr(train_config, "quant_bits", 8),
+            group_size=getattr(train_config, "q4_group_size", 128),
+        )
 
     if train_config.use_peft:
         if train_config.peft_config.peft_method != "lora":

@@ -487,16 +487,19 @@ def import_reference_checkpoint(
                     for lk in ("lora_a", "lora_b", "lora_scale"):
                         if lk in old:
                             node[lk] = old[lk]
-            if any(
-                isinstance(n, dict) and "q8" in n
-                for n in old_layers.values()
-            ):
-                # the factory quantized (train_config.quantization); keep
-                # the imported weights int8 too — otherwise the knob is
-                # silently dropped on every checkpointed serve/decode
-                from ps_slm_tpu.models.quantization import quantize_llm
+            from ps_slm_tpu.models.quantization import (
+                quant_spec, quantize_llm,
+            )
 
-                new_llm = quantize_llm(new_llm)
+            spec = quant_spec(model.params["llm"])
+            if spec is not None:
+                # the factory quantized (train_config.quantization); keep
+                # the imported weights quantized with the SAME scheme —
+                # otherwise the knob is silently dropped on every
+                # checkpointed serve/decode
+                new_llm = quantize_llm(
+                    new_llm, bits=spec[0], group_size=spec[1]
+                )
             model.params["llm"] = new_llm
             # only keys the mapper actually read — an unconsumed key (e.g.
             # rotary_emb.inv_freq or a renamed tensor) must surface as
