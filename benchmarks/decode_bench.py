@@ -55,9 +55,13 @@ def main():
 
     # PS_BENCH_QUANT=1: int8 weight-only LLM — decode is weight-HBM-bound,
     # so halving the weight bytes is a direct throughput win (docs/PERF.md:
-    # greedy 1169 -> 1501 tok/s, beam-4 885 -> 1042)
-    quant = os.environ.get("PS_BENCH_QUANT") == "1"
-    tc = TrainConfig(ctc_posterior=True, do_psd=True, quantization=quant)
+    # greedy 1169 -> 1501 tok/s, beam-4 885 -> 1042).  PS_BENCH_QUANT=4:
+    # group-wise int4 (s4 storage) — another 2x cut in weight bytes.
+    quant = os.environ.get("PS_BENCH_QUANT", "0")
+    tc = TrainConfig(
+        ctc_posterior=True, do_psd=True, quantization=quant in ("1", "4", "8"),
+        quant_bits=4 if quant == "4" else 8,
+    )
     mc = ModelConfig(
         llm_path="", encoder_path=None, encoder_projector="linear-silu",
         encoder_dim=enc_over["vocab_size"], llm_dim=llm_over["hidden_size"],

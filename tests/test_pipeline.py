@@ -186,6 +186,42 @@ def test_pipeline_qlora_int8_base():
     )
 
 
+def test_pipeline_qlora_int4_base():
+    """Same as the int8 case with the group-wise int4 scheme: q4/scale4
+    leaves pipe-shard on dim 0 and the pipelined forward matches the
+    unpipelined one."""
+    from types import SimpleNamespace
+
+    from ps_slm_tpu.models.lora import add_lora
+    from ps_slm_tpu.models.quantization import quantize_llm
+
+    cfg, params = _llm()
+    params = quantize_llm(params, bits=4, group_size=16)
+    peft = SimpleNamespace(r=4, lora_alpha=8, target_modules=["q_proj"])
+    params = add_lora(params, peft, jax.random.PRNGKey(3))
+    node = dict(params["layers"]["q_proj"])
+    node["lora_b"] = jnp.full_like(node["lora_b"], 0.02)
+    params["layers"]["q_proj"] = node
+
+    mesh = meshlib.build_mesh({"pipe": 2, "data": 4})
+    sh = meshlib.param_shardings(params, mesh, min_size=1)
+    assert sh["layers"]["q_proj"]["q4"].spec[0] == "pipe"
+    assert sh["layers"]["q_proj"]["scale4"].spec[0] == "pipe"
+
+    ids, mask = _inputs(cfg)
+    x = qwen2.embed(params, ids)
+    want, _ = qwen2.forward(
+        params, cfg, x, attention_mask=mask, use_flash=False
+    )
+    got, _ = qwen2.forward(
+        params, cfg, x, attention_mask=mask, use_flash=False,
+        pipeline_mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_pipe_param_sharding_rule():
     """pipe>1 shards the LLM stacked layer axis (and only the LLM's: the
     q-former projector also has a 'layers' key)."""
