@@ -89,6 +89,9 @@ def main():
     }
     eos = 0
     audio_sec = batch * frames * 0.060
+    # PS_BENCH_KV=8: int8 KV cache on the static greedy/beam rows (decode
+    # is KV-HBM-bound at long context; half the cache bytes)
+    kv_bits = int(os.environ.get("PS_BENCH_KV", "16"))
 
     if os.environ.get("PS_BENCH_POOL_ONLY") == "1":
         # pool batch-scaling runs (roadmap #5): beam pool at large slot
@@ -114,7 +117,7 @@ def main():
     for beams in (1, 4):
         out = generate(
             model, model.params, jbatch, eos_token_id=eos,
-            num_beams=beams, max_new_tokens=max_new,
+            num_beams=beams, max_new_tokens=max_new, kv_bits=kv_bits,
         )
         _ = np.asarray(out)  # sync
         t0 = time.perf_counter()
@@ -122,7 +125,7 @@ def main():
         for _ in range(n_iter):
             out = generate(
                 model, model.params, jbatch, eos_token_id=eos,
-                num_beams=beams, max_new_tokens=max_new,
+                num_beams=beams, max_new_tokens=max_new, kv_bits=kv_bits,
             )
             _ = np.asarray(out)
         dt = (time.perf_counter() - t0) / n_iter
@@ -133,6 +136,7 @@ def main():
             "audio_sec_per_sec": round(audio_sec / dt, 1),
             "rtf": round(dt / audio_sec, 4),
             "batch": batch, "frames": frames, "max_new_tokens": max_new,
+            **({"kv_bits": kv_bits} if kv_bits != 16 else {}),
         }))
 
     if os.environ.get("PS_BENCH_STATIC_ONLY") == "1":

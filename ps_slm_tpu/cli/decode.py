@@ -125,6 +125,7 @@ def main(argv=None):
                 temperature=tc.temperature,
                 length_penalty=tc.length_penalty,
                 repetition_penalty=tc.repetition_penalty,
+                kv_bits=tc.kv_cache_bits,
                 **spec_kwargs,
             )
             out = np.asarray(out)

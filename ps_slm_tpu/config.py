@@ -171,6 +171,10 @@ class TrainConfig:
     continuous_batching: bool = False
     decode_slots: int = 8
     decode_sync_every: int = 8
+    # KV-cache storage width for all decode paths: 16 = bf16 (exact), 8 =
+    # per-vector int8 (half the cache HBM traffic / double slot capacity;
+    # output may differ within quantization noise)
+    kv_cache_bits: int = 16
     # CTC-draft speculative decoding (greedy only): the CTC transcript is
     # verified in windows, output bit-identical (inference/speculative.py)
     speculative_ctc: bool = False

@@ -43,6 +43,7 @@ def make_pool_decoder(model, tc, dc, *, eos_token_id: int):
         prefill_len=dc.eval_max_frame_length,
         max_new_tokens=tc.max_new_tokens,
         eos_token_id=eos_token_id,
+        kv_bits=getattr(tc, "kv_cache_bits", 16),
     )
     if tc.speculative_ctc:
         from ps_slm_tpu.inference.continuous_spec import (

@@ -64,9 +64,11 @@ def _left_pad_merged(merged, prefill_len: int):
 # a buffer a live reference still points at would invalidate it.
 # state = (full_mask, positions, write_idx, last_tok, active, gen,
 #          tok0_buf, tok0_fresh)
-def _init_pool(cfg, num_slots: int, capacity: int, eos: int, dtype):
+def _init_pool(cfg, num_slots: int, capacity: int, eos: int, dtype,
+               kv_bits: int = 16):
     return (
-        qwen2.init_cache(cfg, num_slots, capacity, dtype=dtype),
+        qwen2.init_cache(cfg, num_slots, capacity, dtype=dtype,
+                         kv_bits=kv_bits),
         (
             jnp.zeros((num_slots, capacity), bool),
             jnp.zeros((num_slots,), jnp.int32),
@@ -81,12 +83,13 @@ def _init_pool(cfg, num_slots: int, capacity: int, eos: int, dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "eos_token_id", "capacity", "k"),
+    jax.jit,
+    static_argnames=("cfg", "eos_token_id", "capacity", "k", "kv_bits"),
     donate_argnums=(2,),  # cache only — see the pool-layout comment above
 )
 def _insert_slots(
     params, cfg, cache, state, slots, embeds, attn_mask, position_ids,
-    *, eos_token_id: int, capacity: int, k: int = 1,
+    *, eos_token_id: int, capacity: int, k: int = 1, kv_bits: int = 16,
 ):
     """Prefill ``k`` requests in ONE forward (B=k) and install each in its
     pool row (grouped refill — B=1 prefills waste the MXU at 1.5B).
@@ -95,7 +98,7 @@ def _insert_slots(
     pool state) — no host sync here.
     """
     dtype = params["embed_tokens"].dtype
-    cachek = qwen2.init_cache(cfg, k, capacity, dtype=dtype)
+    cachek = qwen2.init_cache(cfg, k, capacity, dtype=dtype, kv_bits=kv_bits)
     s = embeds.shape[1]
     maskk = jnp.zeros((k, capacity), bool).at[:, :s].set(attn_mask)
     hidden, cachek = qwen2.forward(
@@ -113,9 +116,10 @@ def _insert_slots(
         slot = slots[i]
         cache = {
             key: jax.lax.dynamic_update_slice(
-                cache[key], cachek[key][:, i: i + 1], (0, slot, 0, 0, 0)
+                cache[key], cachek[key][:, i: i + 1],
+                (0, slot) + (0,) * (cache[key].ndim - 2),
             )
-            for key in ("k", "v")
+            for key in cache
         }
         full_mask = jax.lax.dynamic_update_slice(
             full_mask, maskk[i: i + 1], (slot, 0)
@@ -418,6 +422,7 @@ class ContinuousGreedyDecoder(_SlotPoolBase):
         max_new_tokens: int = 200,
         eos_token_id: int,
         sync_every: int = 8,
+        kv_bits: int = 16,
     ):
         self.model = model
         self.params = params
@@ -427,10 +432,12 @@ class ContinuousGreedyDecoder(_SlotPoolBase):
         self.max_new = max_new_tokens
         self.eos = eos_token_id
         self.sync_every = sync_every
+        self.kv_bits = kv_bits
         self.capacity = prefill_len + max_new_tokens
         dtype = params["llm"]["embed_tokens"].dtype
         self.pool = _init_pool(
-            self.cfg, num_slots, self.capacity, eos_token_id, dtype
+            self.cfg, num_slots, self.capacity, eos_token_id, dtype,
+            kv_bits,
         )
         # host-side per-slot bookkeeping
         self._keys: list = [None] * num_slots
@@ -452,6 +459,7 @@ class ContinuousGreedyDecoder(_SlotPoolBase):
             self.params["llm"], self.cfg, *self.pool,
             slots, embeds, mask, pos,
             eos_token_id=self.eos, capacity=self.capacity, k=k,
+            kv_bits=self.kv_bits,
         )
 
     def _launch_chunk(self):
@@ -490,12 +498,12 @@ class ContinuousGreedyDecoder(_SlotPoolBase):
 def decode_continuous(
     model, params, batches: Iterator[Tuple[str, Dict]], *,
     prefill_len: int, max_new_tokens: int = 200, eos_token_id: int,
-    num_slots: int = 8, sync_every: int = 8,
+    num_slots: int = 8, sync_every: int = 8, kv_bits: int = 16,
 ) -> Iterator[Tuple[str, np.ndarray]]:
     """Convenience wrapper: decode an iterator of (key, B=1 device batch)."""
     dec = ContinuousGreedyDecoder(
         model, params, num_slots=num_slots, prefill_len=prefill_len,
         max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
-        sync_every=sync_every,
+        sync_every=sync_every, kv_bits=kv_bits,
     )
     return dec.run(batches)

@@ -46,11 +46,13 @@ NEG_INF = -1e30
 #    write_idx[S], tokens[S, bm], scores[S, bm], seqs[S, bm, max_new],
 #    t[S], active[S], fin_seqs[S, bm, max_new], fin_scores[S, bm],
 #    fin_valid[S, bm])
-def _init_pool(cfg, num_slots, bm, capacity, max_new, eos, dtype):
+def _init_pool(cfg, num_slots, bm, capacity, max_new, eos, dtype,
+               kv_bits: int = 16):
     def zs():
         return jnp.zeros((num_slots,), jnp.int32)
     return (
-        qwen2.init_cache(cfg, num_slots * bm, capacity, dtype=dtype),
+        qwen2.init_cache(cfg, num_slots * bm, capacity, dtype=dtype,
+                         kv_bits=kv_bits),
         (
             jnp.zeros((num_slots * bm, capacity), bool),
             zs(),
@@ -89,20 +91,20 @@ def _bank(fin_seqs, fin_scores, fin_valid, cand_seqs, cand_scores, newly):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "eos_token_id", "capacity", "num_beams",
-                     "max_new_tokens", "length_penalty", "k"),
+                     "max_new_tokens", "length_penalty", "k", "kv_bits"),
     donate_argnums=(2,),  # cache only — see the pool-layout comment above
 )
 def _insert_slots(
     params, cfg, cache, state, slots, embeds, attn_mask, position_ids,
     *, eos_token_id: int, capacity: int, num_beams: int,
-    max_new_tokens: int, length_penalty: float, k: int,
+    max_new_tokens: int, length_penalty: float, k: int, kv_bits: int = 16,
 ):
     """Grouped refill: prefill ``k`` requests in ONE forward (B=k) and
     install each at its slot block.  B=1 prefills waste the MXU at 1.5B —
     batching them is the single biggest pool-overhead fix (docs/PERF.md)."""
     bm = num_beams
     dtype = params["embed_tokens"].dtype
-    cachek = qwen2.init_cache(cfg, k, capacity, dtype=dtype)
+    cachek = qwen2.init_cache(cfg, k, capacity, dtype=dtype, kv_bits=kv_bits)
     s = embeds.shape[1]
     maskk = jnp.zeros((k, capacity), bool).at[:, :s].set(attn_mask)
     hidden, cachek = qwen2.forward(
@@ -125,9 +127,9 @@ def _insert_slots(
             key: jax.lax.dynamic_update_slice(
                 cache[key],
                 jnp.repeat(cachek[key][:, i: i + 1], bm, axis=1),
-                (0, slot * bm, 0, 0, 0),
+                (0, slot * bm) + (0,) * (cache[key].ndim - 2),
             )
-            for key in ("k", "v")
+            for key in cache
         }
         pmask = jax.lax.dynamic_update_slice(
             pmask, jnp.repeat(maskk[i: i + 1], bm, axis=0), (slot * bm, 0)
@@ -229,7 +231,7 @@ def _pool_steps(
         # reorder the decode region of the slot's cache block by beam source
         flat_src = (slots[:, None] * bm + beam_src).reshape(-1)
         reordered = {}
-        for key in ("k", "v"):
+        for key in new_cache:  # every cache leaf keeps capacity on axis 2
             dec = jax.lax.dynamic_slice_in_dim(
                 new_cache[key], prefill_len, max_new_tokens, axis=2
             )
@@ -330,6 +332,7 @@ class ContinuousBeamDecoder(_SlotPoolBase):
         num_beams: int = 4,
         length_penalty: float = 1.0,
         sync_every: int = 8,
+        kv_bits: int = 16,
     ):
         self.model = model
         self.params = params
@@ -341,11 +344,12 @@ class ContinuousBeamDecoder(_SlotPoolBase):
         self.eos = eos_token_id
         self.lp = length_penalty
         self.sync_every = sync_every
+        self.kv_bits = kv_bits
         self.capacity = prefill_len + max_new_tokens
         dtype = params["llm"]["embed_tokens"].dtype
         self.pool = _init_pool(
             self.cfg, num_slots, num_beams, self.capacity, max_new_tokens,
-            eos_token_id, dtype,
+            eos_token_id, dtype, kv_bits,
         )
         self._keys: list = [None] * num_slots
         self._epoch: list = [0] * num_slots
@@ -364,7 +368,7 @@ class ContinuousBeamDecoder(_SlotPoolBase):
             slots, embeds, mask, pos,
             eos_token_id=self.eos, capacity=self.capacity,
             num_beams=self.bm, max_new_tokens=self.max_new,
-            length_penalty=self.lp, k=k,
+            length_penalty=self.lp, k=k, kv_bits=self.kv_bits,
         )
 
     def _launch_chunk(self):

@@ -21,7 +21,8 @@ from ps_slm_tpu.models import qwen2
 from ps_slm_tpu.inference.continuous import _SlotPoolBase
 
 
-def _init_pool(cfg, num_slots, capacity, d_max, eos, dtype):
+def _init_pool(cfg, num_slots, capacity, d_max, eos, dtype,
+               kv_bits: int = 16):
     # pool = (cache, state): the cache is donated into the jitted
     # insert/step calls (in-place update, no full-cache copy per call);
     # the small state leaves stay un-donated because tok0_buf/tok0_fresh
@@ -30,7 +31,8 @@ def _init_pool(cfg, num_slots, capacity, d_max, eos, dtype):
     def z():
         return jnp.zeros((num_slots,), jnp.int32)
     return (
-        qwen2.init_cache(cfg, num_slots, capacity, dtype=dtype),
+        qwen2.init_cache(cfg, num_slots, capacity, dtype=dtype,
+                         kv_bits=kv_bits),
         (
             jnp.zeros((num_slots, capacity), bool),  # prefill mask rows
             z(),                                     # positions (next pos)
@@ -48,19 +50,20 @@ def _init_pool(cfg, num_slots, capacity, d_max, eos, dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "eos_token_id", "capacity", "k"),
+    jax.jit,
+    static_argnames=("cfg", "eos_token_id", "capacity", "k", "kv_bits"),
     donate_argnums=(2,),  # cache only — see the pool-layout comment above
 )
 def _insert_slots(
     params, cfg, cache, state, slots, embeds, attn_mask, position_ids,
     draft_rows, draft_lens,
-    *, eos_token_id: int, capacity: int, k: int = 1,
+    *, eos_token_id: int, capacity: int, k: int = 1, kv_bits: int = 16,
 ):
     """Prefill ``k`` requests in ONE forward (B=k) and install each in its
     pool row with its draft — grouped refill, mirroring
     ``continuous._insert_slots`` (B=1 prefills waste the MXU at 1.5B)."""
     dtype = params["embed_tokens"].dtype
-    cachek = qwen2.init_cache(cfg, k, capacity, dtype=dtype)
+    cachek = qwen2.init_cache(cfg, k, capacity, dtype=dtype, kv_bits=kv_bits)
     s = embeds.shape[1]
     maskk = jnp.zeros((k, capacity), bool).at[:, :s].set(attn_mask)
     hidden, cachek = qwen2.forward(
@@ -78,9 +81,10 @@ def _insert_slots(
         slot = slots[i]
         cache = {
             key: jax.lax.dynamic_update_slice(
-                cache[key], cachek[key][:, i: i + 1], (0, slot, 0, 0, 0)
+                cache[key], cachek[key][:, i: i + 1],
+                (0, slot) + (0,) * (cache[key].ndim - 2),
             )
-            for key in ("k", "v")
+            for key in cache
         }
         pmask = jax.lax.dynamic_update_slice(
             pmask, maskk[i: i + 1], (slot, 0)
@@ -241,6 +245,7 @@ class ContinuousSpeculativeDecoder(_SlotPoolBase):
         window: int = 8,
         draft_max: int = 256,
         sync_every: int = 2,
+        kv_bits: int = 16,
     ):
         self.model = model
         self.params = params
@@ -252,11 +257,12 @@ class ContinuousSpeculativeDecoder(_SlotPoolBase):
         self.window = window
         self.d_max = draft_max
         self.sync_every = sync_every
+        self.kv_bits = kv_bits
         self.capacity = prefill_len + max_new_tokens + window
         dtype = params["llm"]["embed_tokens"].dtype
         self.pool = _init_pool(
             self.cfg, num_slots, self.capacity, draft_max, eos_token_id,
-            dtype,
+            dtype, kv_bits,
         )
         self._keys: list = [None] * num_slots
         self._toks: list = [[] for _ in range(num_slots)]
@@ -294,6 +300,7 @@ class ContinuousSpeculativeDecoder(_SlotPoolBase):
             jnp.asarray(rows[offset: offset + k]),
             jnp.asarray(lens[offset: offset + k]),
             eos_token_id=self.eos, capacity=self.capacity, k=k,
+            kv_bits=self.kv_bits,
         )
 
     def _launch_chunk(self):

@@ -29,10 +29,13 @@ from ps_slm_tpu.models import qwen2
 NEG_INF = -1e30
 
 
-def _prefill(params, cfg, embeds, attn_mask, position_ids, capacity, dtype):
+def _prefill(
+    params, cfg, embeds, attn_mask, position_ids, capacity, dtype,
+    kv_bits: int = 16,
+):
     b = embeds.shape[0]
     s = embeds.shape[1]
-    cache = qwen2.init_cache(cfg, b, capacity, dtype=dtype)
+    cache = qwen2.init_cache(cfg, b, capacity, dtype=dtype, kv_bits=kv_bits)
     full_mask = jnp.zeros((b, capacity), bool).at[:, :s].set(attn_mask)
     hidden, cache = qwen2.forward(
         params, cfg, embeds,
@@ -61,7 +64,7 @@ def _step(params, cfg, cache, full_mask, token_ids, positions, index):
     static_argnames=(
         "cfg", "max_new_tokens", "eos_token_id", "pad_token_id",
         "temperature", "top_p", "do_sample", "min_length",
-        "repetition_penalty",
+        "repetition_penalty", "kv_bits",
     ),
 )
 def greedy_generate(
@@ -80,12 +83,15 @@ def greedy_generate(
     do_sample: bool = False,
     min_length: int = 1,
     repetition_penalty: float = 1.0,
+    kv_bits: int = 16,
 ) -> jnp.ndarray:
     """Greedy / nucleus-sampling decode. Returns [B, max_new_tokens]
     (EOS-filled after termination, HF batch_decode-compatible).
 
     ``repetition_penalty`` follows the HF rule over *generated* tokens
     (with inputs_embeds-only prompts HF also only sees generated ids).
+    ``kv_bits=8`` stores the KV cache int8 (half the decode HBM traffic;
+    output may differ from bf16-cache decode within quantization noise).
     """
     b, s, _ = inputs_embeds.shape
     capacity = s + max_new_tokens
@@ -93,7 +99,7 @@ def greedy_generate(
 
     logits, cache, full_mask = _prefill(
         params, cfg, inputs_embeds, attention_mask, position_ids, capacity,
-        dtype,
+        dtype, kv_bits,
     )
     next_pos = position_ids[:, -1] + 1  # left padding: last position is valid
 
@@ -171,7 +177,7 @@ def greedy_generate(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "eos_token_id", "num_beams",
-        "length_penalty", "min_length", "repetition_penalty",
+        "length_penalty", "min_length", "repetition_penalty", "kv_bits",
     ),
 )
 def beam_generate(
@@ -187,6 +193,7 @@ def beam_generate(
     length_penalty: float = 1.0,
     min_length: int = 1,
     repetition_penalty: float = 1.0,
+    kv_bits: int = 16,
 ) -> jnp.ndarray:
     """Beam search (HF semantics: expand 2*beams, bank EOS hypotheses only
     when ranked within the top num_beams, length-penalized selection over
@@ -206,10 +213,9 @@ def beam_generate(
 
     logits, cache, full_mask = _prefill(
         params, cfg, inputs_embeds, attention_mask, position_ids,
-        capacity, dtype,
+        capacity, dtype, kv_bits,
     )
-    cache = {"k": jnp.repeat(cache["k"], bm, axis=1),
-             "v": jnp.repeat(cache["v"], bm, axis=1)}
+    cache = {key: jnp.repeat(v, bm, axis=1) for key, v in cache.items()}
     full_mask = tile(full_mask)
     logits = tile(logits)
     next_pos0 = tile(position_ids[:, -1] + 1)  # [B*bm]
@@ -331,7 +337,7 @@ def beam_generate(
             jnp.arange(b)[:, None] * bm + beam_src
         ).reshape(-1)                                         # [B*bm]
         new_cache = {}
-        for key in ("k", "v"):
+        for key in cache:  # every cache leaf keeps capacity on axis 2
             dec = jax.lax.dynamic_slice_in_dim(
                 cache[key], s, max_new_tokens, axis=2
             )
@@ -445,6 +451,7 @@ def generate(
     max_new_tokens = kwargs.pop("max_new_tokens", 200)
     eos = kwargs.pop("eos_token_id")
     repetition_penalty = kwargs.pop("repetition_penalty", 1.0)
+    kv_bits = kwargs.pop("kv_bits", 16)
     draft_ids = kwargs.pop("draft_ids", None)
     draft_lens = kwargs.pop("draft_lens", None)
     if draft_ids is not None and num_beams == 1:
@@ -471,7 +478,7 @@ def generate(
             merged.embeds, merged.attention_mask, merged.position_ids,
             jnp.asarray(draft_ids), jnp.asarray(draft_lens),
             max_new_tokens=max_new_tokens, eos_token_id=eos,
-            window=kwargs.pop("spec_window", 8),
+            window=kwargs.pop("spec_window", 8), kv_bits=kv_bits,
         )
         return out
     if num_beams > 1:
@@ -483,6 +490,7 @@ def generate(
             length_penalty=kwargs.pop("length_penalty", 1.0),
             min_length=kwargs.pop("min_length", 1),
             repetition_penalty=repetition_penalty,
+            kv_bits=kv_bits,
         )
     return greedy_generate(
         params["llm"], model.llm_cfg,
@@ -494,4 +502,5 @@ def generate(
         top_p=kwargs.pop("top_p", 1.0),
         min_length=kwargs.pop("min_length", 1),
         repetition_penalty=repetition_penalty,
+        kv_bits=kv_bits,
     )

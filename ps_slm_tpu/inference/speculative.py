@@ -34,7 +34,9 @@ NEG_INF = -1e30
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "eos_token_id", "window"),
+    static_argnames=(
+        "cfg", "max_new_tokens", "eos_token_id", "window", "kv_bits",
+    ),
 )
 def speculative_greedy_generate(
     params,
@@ -48,6 +50,7 @@ def speculative_greedy_generate(
     max_new_tokens: int = 200,
     eos_token_id: int = 0,
     window: int = 8,
+    kv_bits: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode with draft verification.
 
@@ -66,7 +69,7 @@ def speculative_greedy_generate(
     d_max = draft_ids.shape[1]
 
     # ---- prefill --------------------------------------------------------
-    cache = qwen2.init_cache(cfg, b, capacity, dtype=dtype)
+    cache = qwen2.init_cache(cfg, b, capacity, dtype=dtype, kv_bits=kv_bits)
     prefill_mask = jnp.zeros((b, capacity), bool).at[:, :s].set(attention_mask)
     hidden, cache = qwen2.forward(
         params, cfg, inputs_embeds,

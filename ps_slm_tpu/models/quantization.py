@@ -159,6 +159,26 @@ def dequantize_llm(llm_params: Params, dtype=jnp.bfloat16) -> Params:
     return out
 
 
+def quantize_kv(x: jnp.ndarray):
+    """Per-vector symmetric int8 for KV-cache entries: one f32 scale per
+    [..., head_dim] vector (amax/127 over the last axis).
+
+    Decode is KV-HBM-bound at long context — int8 cells halve cache
+    traffic and double slot capacity; the convert+scale on read fuses into
+    the attention matmuls (models/qwen2.py ``_block``)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(xf / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16):
+    return (q.astype(dtype) * scale[..., None].astype(dtype))
+
+
 def quant_spec(llm_params: Params):
     """(bits, group_size) of a quantized LLM pytree, or None if fp.
 

@@ -338,26 +338,59 @@ def _block(
     k = rope(k, positions, cfg.rope_theta)
 
     if cache_kv is not None:
-        k_cache, v_cache = cache_kv
-        if jnp.ndim(cache_index) == 1:
-            # per-row write offsets (continuous-batching slot pool: every
-            # sequence in the batch is at its own length)
-            rows = jnp.arange(b)[:, None]
-            cols = cache_index[:, None] + jnp.arange(s)[None, :]
-            k_cache = k_cache.at[rows, cols].set(k.astype(k_cache.dtype))
-            v_cache = v_cache.at[rows, cols].set(v.astype(v_cache.dtype))
+        if len(cache_kv) == 4:
+            # int8 KV cache: quantize this chunk at write; the read-side
+            # convert+scale fuses into the attention matmuls, so HBM sees
+            # only the int8 cells + per-vector scales
+            from ps_slm_tpu.models.quantization import quantize_kv
+
+            k8, kscale, v8, vscale = cache_kv
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            if jnp.ndim(cache_index) == 1:
+                rows = jnp.arange(b)[:, None]
+                cols = cache_index[:, None] + jnp.arange(s)[None, :]
+                k8 = k8.at[rows, cols].set(kq)
+                kscale = kscale.at[rows, cols].set(ks)
+                v8 = v8.at[rows, cols].set(vq)
+                vscale = vscale.at[rows, cols].set(vs)
+            else:
+                k8 = jax.lax.dynamic_update_slice(
+                    k8, kq, (0, cache_index, 0, 0)
+                )
+                kscale = jax.lax.dynamic_update_slice(
+                    kscale, ks, (0, cache_index, 0)
+                )
+                v8 = jax.lax.dynamic_update_slice(
+                    v8, vq, (0, cache_index, 0, 0)
+                )
+                vscale = jax.lax.dynamic_update_slice(
+                    vscale, vs, (0, cache_index, 0)
+                )
+            k_cache = k8.astype(q.dtype) * kscale[..., None].astype(q.dtype)
+            v_cache = v8.astype(q.dtype) * vscale[..., None].astype(q.dtype)
+            new_cache = (k8, kscale, v8, vscale)
         else:
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0)
-            )
+            k_cache, v_cache = cache_kv
+            if jnp.ndim(cache_index) == 1:
+                # per-row write offsets (continuous-batching slot pool:
+                # every sequence in the batch is at its own length)
+                rows = jnp.arange(b)[:, None]
+                cols = cache_index[:, None] + jnp.arange(s)[None, :]
+                k_cache = k_cache.at[rows, cols].set(k.astype(k_cache.dtype))
+                v_cache = v_cache.at[rows, cols].set(v.astype(v_cache.dtype))
+            else:
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0)
+                )
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0)
+                )
+            new_cache = (k_cache, v_cache)
         attn = mha_reference(
             q, k_cache, v_cache, kv_mask=attn_mask, causal=True,
             q_offset=cache_index,
         )
-        new_cache = (k_cache, v_cache)
     else:
         attn = attention(
             q, k, v, kv_mask=attn_mask, causal=True, use_flash=use_flash
@@ -436,7 +469,8 @@ def forward(
     x = inputs_embeds
 
     if cache is not None:
-        cache_kv_stacked = (cache["k"], cache["v"])
+        _ckeys = cache_leaf_keys(cache)
+        cache_kv_stacked = tuple(cache[key] for key in _ckeys)
     else:
         cache_kv_stacked = None
 
@@ -457,10 +491,10 @@ def forward(
 
     unroll = int(_os.environ.get("PS_SCAN_UNROLL", "1"))
     if cache_kv_stacked is not None:
-        x, (new_k, new_v) = jax.lax.scan(
+        x, new_leaves = jax.lax.scan(
             body, x, (params["layers"], cache_kv_stacked), unroll=unroll
         )
-        new_cache = {"k": new_k, "v": new_v}
+        new_cache = dict(zip(_ckeys, new_leaves))
     elif (
         pipeline_mesh is not None
         and pipeline_mesh.shape.get("pipe", 1) > 1
@@ -519,10 +553,29 @@ def logits_fn(params: Params, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndar
 
 
 def init_cache(
-    cfg: Qwen2Config, batch: int, capacity: int, dtype=jnp.bfloat16
+    cfg: Qwen2Config, batch: int, capacity: int, dtype=jnp.bfloat16,
+    kv_bits: int = 16,
 ) -> Dict[str, jnp.ndarray]:
+    """Bucketed KV cache.  kv_bits=8 stores int8 cells + one f32 scale per
+    [head_dim] vector (models/quantization.py::quantize_kv) — half the
+    cache HBM traffic; every cache leaf keeps capacity on axis 2 so
+    slot-pool/beam cache surgery stays layout-generic."""
     shape = (
         cfg.num_hidden_layers, batch, capacity,
         cfg.num_key_value_heads, cfg.head_dim,
     )
+    if kv_bits == 8:
+        return {
+            "k8": jnp.zeros(shape, jnp.int8),
+            "kscale": jnp.zeros(shape[:-1], jnp.float32),
+            "v8": jnp.zeros(shape, jnp.int8),
+            "vscale": jnp.zeros(shape[:-1], jnp.float32),
+        }
+    if kv_bits != 16:
+        raise ValueError(f"kv_bits must be 8 or 16, got {kv_bits}")
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def cache_leaf_keys(cache: Dict[str, jnp.ndarray]):
+    """Ordered leaf names of a cache dict (fp or int8 layout)."""
+    return ("k8", "kscale", "v8", "vscale") if "k8" in cache else ("k", "v")
