@@ -15,7 +15,10 @@ Config knobs are the decode set: ``decode_slots``, ``max_new_tokens``,
 ``num_beams`` (>1 serves through the beam pool,
 inference/continuous_beam.py), ``speculative_ctc`` (+ ``spec_window``;
 greedy only), ``quantization`` (int8 weights; ``quant_bits=4`` for
-group-wise int4).
+group-wise int4), ``kv_cache_bits=8`` (int8 KV cache), and
+``stream_partials`` (also emit ``{"key", "partial": true, "text"}`` lines
+with the text decoded so far at every pool harvest — token streaming;
+greedy/speculative pools only).
 The pool keeps the device busy across requests; results stream as soon as
 each utterance finishes (docs/PERF.md serving numbers).
 """
@@ -194,8 +197,20 @@ def main(argv=None, *, stdin=None, stdout=None):
         model, tc, dc, eos_token_id=tokenizer.eos_token_id
     )
 
+    on_partial = None
+    if tc.stream_partials:
+        # streaming contract: every harvest that grows a request's token
+        # prefix emits the FULL text decoded so far (not a delta — byte-
+        # level BPE can split one character across harvest boundaries)
+        def on_partial(key, prefix):
+            stdout.write(json.dumps({
+                "key": key, "partial": True,
+                "text": tokenizer.decode(prefix),
+            }) + "\n")
+            stdout.flush()
+
     n = 0
-    for key, toks in dec.run(requests()):
+    for key, toks in dec.run(requests(), on_partial=on_partial):
         stdout.write(json.dumps(
             {"key": key, "text": tokenizer.decode(toks)}
         ) + "\n")

@@ -175,6 +175,9 @@ class TrainConfig:
     # per-vector int8 (half the cache HBM traffic / double slot capacity;
     # output may differ within quantization noise)
     kv_cache_bits: int = 16
+    # cli/serve.py: also emit {"key", "partial": true, "text"} lines with
+    # the text decoded so far at every pool harvest (greedy/spec pools)
+    stream_partials: bool = False
     # CTC-draft speculative decoding (greedy only): the CTC transcript is
     # verified in windows, output bit-identical (inference/speculative.py)
     speculative_ctc: bool = False

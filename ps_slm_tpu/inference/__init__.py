@@ -31,6 +31,11 @@ def validate_pool_decode_knobs(tc, mode: str) -> None:
             "speculative_ctc requires num_beams=1 (draft verification is "
             "defined against greedy decode)"
         )
+    if getattr(tc, "stream_partials", False) and tc.num_beams != 1:
+        raise ValueError(
+            "stream_partials requires num_beams=1 — beam hypotheses have "
+            "no stable prefix until finalization"
+        )
 
 
 def make_pool_decoder(model, tc, dc, *, eos_token_id: int):

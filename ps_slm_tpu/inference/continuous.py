@@ -284,6 +284,8 @@ class _SlotPoolBase:
     """
 
     _supports_stop_after = True
+    _supports_stream = True  # token-accumulating pools stream partials;
+    #                          beam hypotheses reorder, so it opts out
 
     # ---- subclass payload hooks -------------------------------------
     def _payload_batch(self, payload):
@@ -318,6 +320,7 @@ class _SlotPoolBase:
                 self._reset_slot(slot, key)
                 self._epoch[slot] += 1
                 self._t_host[slot] = 1  # insert sets device t/gen = 1
+                self._emitted_n[slot] = 0
             i += k
 
     def _finish(self, slot, cap):
@@ -330,9 +333,23 @@ class _SlotPoolBase:
         self._free.append(slot)
         return key, np.asarray(toks, np.int32)
 
+    def _emit_partial(self, slot, cap):
+        """Stream callback: pass the clean (EOS-free, capped) token prefix
+        decoded so far whenever a harvest grew it.  The consumer re-decodes
+        the full prefix — byte-level BPE can split one character across
+        chunk boundaries, so per-delta text would mojibake."""
+        if self._on_partial is None:
+            return
+        key = self._keys[slot]
+        clean = [t for t in self._toks[slot] if t != self.eos][: cap(key)]
+        if len(clean) > self._emitted_n[slot]:
+            self._emitted_n[slot] = len(clean)
+            self._on_partial(key, np.asarray(clean, np.int32))
+
     def run(
         self, batches: Iterator[Tuple[str, Dict]],
         stop_after: Optional[Dict[str, int]] = None,
+        on_partial=None,
     ) -> Iterator[Tuple[str, np.ndarray]]:
         """Decode an iterator of ``(key, payload)`` requests; yields
         ``(key, np.ndarray tokens)`` in completion order (EOS excluded).
@@ -340,11 +357,24 @@ class _SlotPoolBase:
         ``stop_after``: optional per-request token cap (app-level early
         stop); the slot frees at the next sync boundary, like a natural
         EOS would.
+
+        ``on_partial``: optional ``(key, token_prefix: np.ndarray) -> None``
+        streaming callback, invoked at every harvest that grew a request's
+        clean token prefix (greedy/speculative pools only — beam
+        hypotheses reorder until finalization, so there is no stable
+        prefix to stream).
         """
         if stop_after and not self._supports_stop_after:
             raise ValueError(
                 f"{type(self).__name__} does not support stop_after"
             )
+        if on_partial is not None and not self._supports_stream:
+            raise ValueError(
+                f"{type(self).__name__} does not support on_partial "
+                "(beam hypotheses have no stable prefix until finalization)"
+            )
+        self._on_partial = on_partial
+        self._emitted_n = [0] * self.num_slots
         batches = iter(batches)
         self._free = list(range(self.num_slots))
         exhausted = False
@@ -489,6 +519,7 @@ class ContinuousGreedyDecoder(_SlotPoolBase):
                 self._toks[slot].append(int(t))
                 if t == self.eos:
                     break
+            self._emit_partial(slot, cap)
             if self._toks[slot][-1] == self.eos or (
                 len(self._toks[slot]) >= cap(key)
             ):

@@ -322,6 +322,7 @@ class ContinuousBeamDecoder(_SlotPoolBase):
 
     _supports_stop_after = False  # banked-hypothesis semantics have no
     #                               app-level truncation equivalent
+    _supports_stream = False  # hypotheses reorder until finalization
 
     def __init__(
         self, model, params, *,

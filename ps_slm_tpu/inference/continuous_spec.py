@@ -332,6 +332,7 @@ class ContinuousSpeculativeDecoder(_SlotPoolBase):
                             break
                     if finished:
                         break
+            self._emit_partial(slot, cap)
             n_real = len(
                 [t for t in self._toks[slot] if t != self.eos]
             )

@@ -335,6 +335,57 @@ def test_serve_cli_streams_results(fixtures, tmp_path):
     assert all("text" in r for r in results)
 
 
+def test_serve_cli_stream_partials(fixtures, tmp_path):
+    """++train_config.stream_partials=true: partial lines stream the text
+    decoded so far; each is a prefix of the key's final text; final lines
+    match the non-streaming run."""
+    import io
+
+    from ps_slm_tpu.cli.serve import main
+
+    reqs = tmp_path / "requests.jsonl"
+    rows = (fixtures / "test" / "multitask.jsonl").read_text().splitlines()
+    reqs.write_text("\n".join(
+        json.dumps({
+            "key": json.loads(r)["key"], "path": json.loads(r)["path"],
+        }) for r in rows[:4]
+    ) + "\n")
+    args = _common_args(fixtures) + [
+        "++train_config.num_beams=1",
+        "++train_config.max_new_tokens=8",
+        "++train_config.decode_slots=2",
+        "++train_config.decode_sync_every=3",
+        "++dataset_config.eval_max_frame_length=64",
+        str(reqs),
+    ]
+
+    plain = io.StringIO()
+    assert main(args, stdout=plain) == 0
+    want = {
+        r["key"]: r["text"]
+        for r in map(json.loads, plain.getvalue().splitlines())
+    }
+
+    out = io.StringIO()
+    assert main(["++train_config.stream_partials=true"] + args,
+                stdout=out) == 0
+    finals, partial_seen = {}, {}
+    for r in map(json.loads, out.getvalue().splitlines()):
+        if r.get("partial"):
+            prev = partial_seen.setdefault(r["key"], [])
+            if prev:  # monotone text growth
+                assert r["text"].startswith(prev[-1]), (prev[-1], r["text"])
+            prev.append(r["text"])
+            assert r["key"] not in finals, "partial after final"
+        else:
+            finals[r["key"]] = r["text"]
+    assert finals == want
+    assert partial_seen, "no partial lines streamed"
+    for k, seen in partial_seen.items():
+        for t in seen:
+            assert finals[k].startswith(t), (k, t, finals[k])
+
+
 def test_decode_mode_rejects_silently_ignored_knobs(fixtures):
     """The slot-pool / draft-verified decode paths are greedy-only; knobs
     the static path honors must be rejected, not silently ignored
