@@ -37,6 +37,9 @@ class PeftConfig:
     task_type: str = "CAUSAL_LM"
     lora_dropout: float = 0.05
     inference_mode: bool = False
+    # prefix-tuning only (peft_method="prefix"; reference dispatch at
+    # utils/config_utils.py:43-58 -> peft.PrefixTuningConfig)
+    num_virtual_tokens: int = 30
 
 
 @dataclass

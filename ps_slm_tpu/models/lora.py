@@ -64,6 +64,39 @@ def add_lora(llm_params: Params, peft_cfg, key, dtype=jnp.float32) -> Params:
     return out
 
 
+def add_prefix_tuning(
+    llm_params: Params, peft_cfg, llm_cfg, key, dtype=jnp.float32
+) -> Params:
+    """Prefix-tuning (peft_method="prefix"): a learned KV prefix.
+
+    The reference dispatches ``peft_method="prefix"`` to peft's
+    ``PrefixTuningConfig`` (``utils/config_utils.py:43-58``), which prepends
+    ``num_virtual_tokens`` learned key/value vectors to every attention
+    layer's KV (past_key_values mechanics — the prefix bypasses rope).  The
+    TPU-native equivalent stores them as stacked-layer leaves
+    ``prefix_k``/``prefix_v`` of shape [L, P, n_kv_heads, head_dim] in the
+    attention node, consumed directly by ``qwen2._block`` — no
+    past_key_values plumbing, one extra concat per layer.
+
+    Init: normal with std 1/sqrt(head_dim) so the prefix starts at the same
+    scale as rms-normed projected keys — near-neutral softmax contribution.
+    """
+    P = peft_cfg.num_virtual_tokens
+    L = llm_cfg.num_hidden_layers
+    nkv, hd = llm_cfg.num_key_value_heads, llm_cfg.head_dim
+    std = 1.0 / math.sqrt(hd)
+    layers = dict(llm_params["layers"])
+    layers["prefix_k"] = (
+        jax.random.normal(jax.random.fold_in(key, 0), (L, P, nkv, hd)) * std
+    ).astype(dtype)
+    layers["prefix_v"] = (
+        jax.random.normal(jax.random.fold_in(key, 1), (L, P, nkv, hd)) * std
+    ).astype(dtype)
+    out = dict(llm_params)
+    out["layers"] = layers
+    return out
+
+
 def merge_lora(llm_params: Params) -> Params:
     """Fold adapters into the base kernels (for export / fast inference).
 

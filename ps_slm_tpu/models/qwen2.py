@@ -337,6 +337,29 @@ def _block(
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
+    def with_prefix(k_all, v_all, mask, offset):
+        # prefix-tuning (models/lora.py::add_prefix_tuning): prepend the
+        # learned per-layer KV prefix — un-rotated raw KV, always visible
+        # (peft PrefixTuningConfig past_key_values semantics; reference
+        # dispatch at utils/config_utils.py:43-58).  Never written to the
+        # KV cache: it is re-read from params each call, so decode caches
+        # stay prefix-agnostic.
+        pk, pv = lp["prefix_k"], lp["prefix_v"]
+        n_pre = pk.shape[0]
+        pk = jnp.broadcast_to(pk[None].astype(k_all.dtype), (b,) + pk.shape)
+        pv = jnp.broadcast_to(pv[None].astype(v_all.dtype), (b,) + pv.shape)
+        k_all = jnp.concatenate([pk, k_all], axis=1)
+        v_all = jnp.concatenate([pv, v_all], axis=1)
+        if mask is not None:
+            ones = jnp.ones((b, n_pre), mask.dtype)
+            mask = jnp.concatenate([ones, mask], axis=1)
+        # prefix shifts every cached/current kv position by n_pre, so the
+        # causal compare needs the query offset bumped by n_pre too
+        offset = n_pre if offset is None else jnp.asarray(offset) + n_pre
+        return k_all, v_all, mask, offset
+
+    has_prefix = "prefix_k" in lp
+
     if cache_kv is not None:
         if len(cache_kv) == 4:
             # int8 KV cache: quantize this chunk at write; the read-side
@@ -387,14 +410,26 @@ def _block(
                     v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0)
                 )
             new_cache = (k_cache, v_cache)
+        k_att, v_att, mask_att, off_att = k_cache, v_cache, attn_mask, cache_index
+        if has_prefix:
+            k_att, v_att, mask_att, off_att = with_prefix(
+                k_cache, v_cache, attn_mask, cache_index
+            )
         attn = mha_reference(
-            q, k_cache, v_cache, kv_mask=attn_mask, causal=True,
-            q_offset=cache_index,
+            q, k_att, v_att, kv_mask=mask_att, causal=True,
+            q_offset=off_att,
         )
     else:
-        attn = attention(
-            q, k, v, kv_mask=attn_mask, causal=True, use_flash=use_flash
-        )
+        if has_prefix:
+            k_att, v_att, mask_att, off_att = with_prefix(k, v, attn_mask, None)
+            attn = mha_reference(
+                q, k_att, v_att, kv_mask=mask_att, causal=True,
+                q_offset=off_att,
+            )
+        else:
+            attn = attention(
+                q, k, v, kv_mask=attn_mask, causal=True, use_flash=use_flash
+            )
         new_cache = (k, v)
 
     x = x + _linear(attn.reshape(b, s, nh * hd), lp["o_proj"], ctx(3))

@@ -504,19 +504,30 @@ def model_factory(
         )
 
     if train_config.use_peft:
-        if train_config.peft_config.peft_method != "lora":
-            # only LoRA is implemented (the reference's llama_adapter /
-            # prefix branches are commented out, utils/config_utils.py:50-56)
-            raise NotImplementedError(
-                f"peft_method={train_config.peft_config.peft_method!r}; "
-                "only 'lora' is supported"
-            )
-        from ps_slm_tpu.models.lora import add_lora
+        # reference PEFT dispatch is live code: peft_configs = {"lora",
+        # "llama_adapter", "prefix"} at utils/config_utils.py:43-58.  lora
+        # and prefix are implemented; llama_adapter (peft
+        # AdaptionPromptConfig) is not — its config fields don't exist in
+        # the shipped PeftConfig schema, so no reference recipe can reach it.
+        method = train_config.peft_config.peft_method
+        if method == "lora":
+            from ps_slm_tpu.models.lora import add_lora
 
-        params["llm"] = add_lora(
-            params["llm"], train_config.peft_config,
-            jax.random.fold_in(rng, 17), dtype,
-        )
+            params["llm"] = add_lora(
+                params["llm"], train_config.peft_config,
+                jax.random.fold_in(rng, 17), dtype,
+            )
+        elif method == "prefix":
+            from ps_slm_tpu.models.lora import add_prefix_tuning
+
+            params["llm"] = add_prefix_tuning(
+                params["llm"], train_config.peft_config, llm_cfg,
+                jax.random.fold_in(rng, 19), dtype,
+            )
+        else:
+            raise NotImplementedError(
+                f"peft_method={method!r}; 'lora' and 'prefix' are supported"
+            )
 
     flags = TasuFlags.from_train_config(train_config, model_config)
     model = TasuModel(
@@ -539,7 +550,8 @@ def trainable_mask(model: TasuModel, train_config) -> Params:
 
     Freeze semantics from the reference: freeze_encoder (ps-slm.py:35-38),
     freeze_llm (:105-108), freeze_projector (:50-54,81-85); under PEFT only
-    LoRA (+ optionally embeddings, use_emb :119-123) train in the LLM.
+    the adapter leaves (LoRA a/b or prefix k/v, + optionally embeddings,
+    use_emb :119-123) train in the LLM.
 
     Only floating-point array leaves can be trainable: static metadata
     leaves (head counts in projector params, int8 'scale'/'q8' payloads)
@@ -566,7 +578,10 @@ def trainable_mask(model: TasuModel, train_config) -> Params:
             if not differentiable(leaf):
                 return False
             keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-            if any(str(k) in ("lora_a", "lora_b") for k in keys):
+            if any(
+                str(k) in ("lora_a", "lora_b", "prefix_k", "prefix_v")
+                for k in keys
+            ):
                 return True
             if train_config.use_emb and any(
                 str(k) == "embed_tokens" for k in keys

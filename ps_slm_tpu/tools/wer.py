@@ -15,7 +15,9 @@ implementation:
   * summary: corrections / substitutions / deletions / insertions and
     WER = (S+D+I) / (C+S+D) * 100
 
-CLI: ``python -m ps_slm_tpu.tools.wer [--char=1] [-v=1] ref hyp``.
+CLI: ``python -m ps_slm_tpu.tools.wer [--char=1] [-v=1] ref hyp``.  Full
+flag surface: ``--char --v --cs --rt --ig= --splitfile= --maxw=
+--padding-symbol= --cluster=`` (wenet_compute_cer.py:296-380).
 """
 
 from __future__ import annotations
@@ -228,11 +230,68 @@ class Calculator:
         return self.overall(toks)
 
 
+def width(string: str) -> int:
+    """Display width of a token in the alignment printout: wide (east-asian
+    A/F/W) codepoints count 2 columns, everything else 1
+    (wenet_compute_cer.py:244-245 semantics)."""
+    return sum(1 + (unicodedata.east_asian_width(c) in "AFW") for c in string)
+
+
+def read_cluster_file(path: str) -> List:
+    """Parse a wenet cluster file: ``<Name> tok tok ... </Name>`` blocks
+    (wenet_compute_cer.py:522-549).  Returns [(name, [tokens...]), ...]."""
+    clusters: List = []
+    name = ""
+    toks: List[str] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            for token in line.rstrip("\n").split():
+                if (
+                    token.startswith("</") and token.endswith(">")
+                    and token.lstrip("</").rstrip(">") == name
+                ):
+                    clusters.append((name, toks))
+                    name, toks = "", []
+                elif token.startswith("<") and token.endswith(">") and not name:
+                    name = token.lstrip("<").rstrip(">")
+                    toks = []
+                else:
+                    toks.append(token)
+    return clusters
+
+
 def wer_percent(c: Dict[str, int]) -> float:
     denom = c["cor"] + c["sub"] + c["del"]
     if denom == 0:
         return 0.0
     return (c["sub"] + c["del"] + c["ins"]) / denom * 100.0
+
+
+def _write_alignment(
+    stream, lab: List[str], rec: List[str], *,
+    max_words_per_line: Optional[int] = None, padding_symbol: str = " ",
+) -> None:
+    """Column-aligned lab/rec printout: each position padded to the wider of
+    the two tokens (east-asian-width aware), wrapped every
+    ``max_words_per_line`` positions, gaps filled with ``padding_symbol``
+    (wenet_compute_cer.py:440-488 semantics)."""
+    pad_lab = [max(width(a), width(b)) - width(a) for a, b in zip(lab, rec)]
+    pad_rec = [max(width(a), width(b)) - width(b) for a, b in zip(lab, rec)]
+    n = len(lab)
+    maxw = max_words_per_line if max_words_per_line else n or 1
+    lo = 0
+    while lo < n or lo == 0:
+        hi = min(n, lo + maxw)
+        stream.write("lab: ")
+        for idx in range(lo, hi):
+            stream.write(lab[idx] + padding_symbol * pad_lab[idx] + " ")
+        stream.write("\nrec: ")
+        for idx in range(lo, hi):
+            stream.write(rec[idx] + padding_symbol * pad_rec[idx] + " ")
+        stream.write("\n\n")
+        lo = hi
+        if lo >= n:
+            break
 
 
 def read_keyed_file(path: str) -> Dict[str, str]:
@@ -257,6 +316,9 @@ def score_files(
     case_sensitive: bool = False, verbose: bool = False,
     remove_tag: bool = True, ignore_words=frozenset(),
     split: Optional[Dict[str, List[str]]] = None,
+    max_words_per_line: Optional[int] = None,
+    padding_symbol: str = " ",
+    cluster_file: Optional[str] = None,
     stream=sys.stdout,
 ) -> Dict:
     refs = read_keyed_file(ref_path)
@@ -286,8 +348,11 @@ def score_files(
                     result["sub"], result["del"], result["ins"],
                 )
             )
-            stream.write("lab: " + " ".join(t or "***" for t in result["lab"]) + "\n")
-            stream.write("rec: " + " ".join(t or "***" for t in result["rec"]) + "\n\n")
+            _write_alignment(
+                stream, result["lab"], result["rec"],
+                max_words_per_line=max_words_per_line,
+                padding_symbol=padding_symbol,
+            )
 
     overall = calc.overall()
     stream.write("=" * 60 + "\n")
@@ -300,6 +365,15 @@ def score_files(
     for name in ("Mandarin", "English", "Japanese", "Korean", "Other"):
         c = calc.cluster(name)
         if c["all"] or c["ins"]:
+            stream.write(
+                "{} -> {:4.2f} % N={} C={} S={} D={} I={}\n".format(
+                    name, wer_percent(c), c["all"], c["cor"], c["sub"],
+                    c["del"], c["ins"],
+                )
+            )
+    if cluster_file:
+        for name, toks in read_cluster_file(cluster_file):
+            c = calc.overall(toks)
             stream.write(
                 "{} -> {:4.2f} % N={} C={} S={} D={} I={}\n".format(
                     name, wer_percent(c), c["all"], c["cor"], c["sub"],
@@ -334,7 +408,8 @@ def _read_split_file(path: str) -> Dict[str, List[str]]:
 def main(argv=None):
     """Option surface mirrors the wenet CLI (wenet_compute_cer.py:296-380):
     --char, --v, --cs, --rt (tag strip, default ON), --ig=<file>,
-    --splitfile=<file>."""
+    --splitfile=<file>, --maxw=<n>, --padding-symbol={space,underline},
+    --cluster=<file>."""
     argv = argv if argv is not None else sys.argv[1:]
     char = True
     verbose = False
@@ -342,6 +417,9 @@ def main(argv=None):
     remove_tag = True
     ignore_words: set = set()
     split: Optional[Dict[str, List[str]]] = None
+    max_words_per_line: Optional[int] = None
+    padding_symbol = " "
+    cluster_file: Optional[str] = None
     paths = []
     for a in argv:
         if a.startswith("--char"):
@@ -350,6 +428,13 @@ def main(argv=None):
             ignore_words = _read_ignore_file(a.split("=", 1)[1])
         elif a.startswith("--splitfile="):
             split = _read_split_file(a.split("=", 1)[1])
+        elif a.startswith("--maxw="):
+            max_words_per_line = int(a.split("=", 1)[1])
+        elif a.startswith("--padding-symbol"):
+            # wenet accepts only the two named symbols (':376-378)
+            padding_symbol = "_" if a.split("=")[-1].lower() == "underline" else " "
+        elif a.startswith("--cluster="):
+            cluster_file = a.split("=", 1)[1]
         elif a.startswith("--rt"):
             remove_tag = a.split("=")[-1] in ("1", "true", "")
         elif a.startswith("-v") or a.startswith("--v"):
@@ -362,7 +447,8 @@ def main(argv=None):
         print(
             "usage: python -m ps_slm_tpu.tools.wer [--char=1] [-v=1] "
             "[--cs=0] [--rt=1] [--ig=ignore_file] [--splitfile=splits] "
-            "ref hyp"
+            "[--maxw=n] [--padding-symbol=space|underline] "
+            "[--cluster=cluster_file] ref hyp"
         )
         return 2
     if split and not case_sensitive:
@@ -371,6 +457,8 @@ def main(argv=None):
         paths[0], paths[1], char=char, verbose=verbose,
         case_sensitive=case_sensitive, remove_tag=remove_tag,
         ignore_words=ignore_words, split=split,
+        max_words_per_line=max_words_per_line,
+        padding_symbol=padding_symbol, cluster_file=cluster_file,
     )
     return 0
 

@@ -240,3 +240,66 @@ def test_peft_adapter_interchange_logit_parity(tmp_path):
     assert np.allclose(scale, alpha / r)
     got_ms = _jax_logits(model_ms.params["llm"], cfg, ids, mask)
     np.testing.assert_allclose(got_ms, want, atol=2e-4, rtol=1e-4)
+
+
+def test_prefix_tuning_cache_matches_full_forward():
+    """Prefix-tuned (learned KV prefix, models/lora.py::add_prefix_tuning)
+    cached decode == full forward, and the prefix changes the logits.
+    Covers peft_method="prefix" on both attention paths of qwen2._block."""
+    import jax
+
+    from ps_slm_tpu.config import PeftConfig
+    from ps_slm_tpu.models.lora import add_prefix_tuning
+
+    _, params, cfg = _build_pair(False)
+    base = _jax_logits(
+        params, cfg, np.arange(12).reshape(2, 6) % 128,
+        np.ones((2, 6), np.int64),
+    )
+    params = add_prefix_tuning(
+        params, PeftConfig(peft_method="prefix", num_virtual_tokens=3),
+        cfg, jax.random.PRNGKey(0), jnp.float32,
+    )
+    assert params["layers"]["prefix_k"].shape == (2, 3, 2, 8)
+
+    rng = np.random.default_rng(4)
+    b, s_prompt, s_total, cap = 2, 4, 8, 12
+    ids = rng.integers(0, 128, size=(b, s_total))
+    full = _jax_logits(params, cfg, ids, np.ones((b, s_total), np.int64))
+    assert not np.allclose(
+        full[:, :6], base[:, :], atol=1e-5
+    ) or not np.array_equal(ids[:, :6], np.arange(12).reshape(2, 6) % 128)
+
+    cache = qwen2.init_cache(cfg, b, cap, dtype=jnp.float32)
+    emb = qwen2.embed(params, jnp.asarray(ids[:, :s_prompt]))
+    am = np.zeros((b, cap), bool)
+    am[:, :s_prompt] = True
+    hidden, cache = qwen2.forward(
+        params, cfg, emb,
+        attention_mask=jnp.asarray(am),
+        position_ids=jnp.broadcast_to(jnp.arange(s_prompt), (b, s_prompt)),
+        cache=cache, cache_index=0,
+    )
+    step_logits = [np.asarray(qwen2.unembed(params, hidden))[:, -1]]
+    for t in range(s_prompt, s_total):
+        am[:, :t + 1] = True
+        emb = qwen2.embed(params, jnp.asarray(ids[:, t:t + 1]))
+        hidden, cache = qwen2.forward(
+            params, cfg, emb,
+            attention_mask=jnp.asarray(am),
+            position_ids=jnp.full((b, 1), t, jnp.int32),
+            cache=cache, cache_index=t,
+        )
+        step_logits.append(np.asarray(qwen2.unembed(params, hidden))[:, -1])
+    stepped = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(
+        stepped, full[:, s_prompt - 1:], atol=2e-4, rtol=2e-4
+    )
+
+    # the prefix really participates: zero it and logits move
+    z = dict(params)
+    z["layers"] = dict(params["layers"])
+    z["layers"]["prefix_k"] = jnp.zeros_like(params["layers"]["prefix_k"])
+    z["layers"]["prefix_v"] = jnp.zeros_like(params["layers"]["prefix_v"])
+    full_z = _jax_logits(z, cfg, ids, np.ones((b, s_total), np.int64))
+    assert not np.allclose(full_z, full, atol=1e-5)

@@ -286,3 +286,42 @@ def test_eval_mode_disables_stochastic_paths():
 
     ev = make_eval_step(model)(model.params, batch)
     np.testing.assert_allclose(float(ev["loss"]), float(le1), rtol=1e-6)
+
+
+def test_prefix_tuning_flags():
+    """peft_method="prefix" (reference dispatch utils/config_utils.py:43-58
+    -> peft.PrefixTuningConfig): learned KV prefix leaves exist, train under
+    the PEFT mask, and change the forward."""
+    from ps_slm_tpu.config import PeftConfig
+
+    model, tc = _mk_model(
+        ctc_posterior=True, gt_emb=True, use_peft=True, freeze_llm=True,
+        freeze_encoder=True,
+        peft_config=PeftConfig(peft_method="prefix", num_virtual_tokens=4),
+    )
+    layers = model.params["llm"]["layers"]
+    assert layers["prefix_k"].shape[1] == 4
+    assert "lora_a" not in layers["q_proj"]
+    batch = _mk_batch(np.random.default_rng(8), with_audio=False)
+    l_pre = _check(model, batch)
+
+    mask = trainable_mask(model, tc)
+    assert mask["llm"]["layers"]["prefix_k"] is True
+    assert mask["llm"]["layers"]["prefix_v"] is True
+    assert mask["llm"]["layers"]["q_proj"]["kernel"] is False
+
+    # zeroing the prefix changes the loss -> the prefix is really attended
+    model.params["llm"]["layers"]["prefix_k"] = jnp.zeros_like(layers["prefix_k"])
+    model.params["llm"]["layers"]["prefix_v"] = jnp.zeros_like(layers["prefix_v"])
+    l_zero = _check(model, batch)
+    assert l_pre != l_zero
+
+
+def test_llama_adapter_unsupported():
+    from ps_slm_tpu.config import PeftConfig
+
+    with pytest.raises(NotImplementedError):
+        _mk_model(
+            use_peft=True,
+            peft_config=PeftConfig(peft_method="llama_adapter"),
+        )

@@ -121,3 +121,62 @@ def test_wer_tag_strip_ignore_and_split(tmp_path):
     ig.write_text("world\n")
     rc = main([f"--ig={ig}", "--char=1", "-v=0", str(ref), str(hyp)])
     assert rc == 0
+
+
+def test_wer_maxw_padding_and_cluster(tmp_path):
+    """Long-tail wenet flags: --maxw wraps alignment lines, --padding-symbol
+    pads the narrower token, --cluster= reports per-cluster WER
+    (wenet_compute_cer.py:305-378,522-549)."""
+    import io
+
+    from ps_slm_tpu.tools.wer import (
+        main, read_cluster_file, score_files, width,
+    )
+
+    assert width("ab") == 2
+    assert width("世界") == 4  # wide chars count two columns
+
+    ref = tmp_path / "ref"
+    hyp = tmp_path / "hyp"
+    ref.write_text("u1\tone two three four five six\n")
+    hyp.write_text("u1\tone too three four five six\n")
+
+    # --maxw=2 wraps the 6-token alignment into 3 lab/rec line pairs
+    s = io.StringIO()
+    score_files(str(ref), str(hyp), char=False, verbose=True,
+                max_words_per_line=2, stream=s)
+    out = s.getvalue()
+    assert out.count("lab: ") == 3 and out.count("rec: ") == 3
+
+    # underline padding pads the narrower token to the wider one's width
+    s = io.StringIO()
+    score_files(str(ref), str(hyp), char=False, verbose=True,
+                padding_symbol="_", stream=s)
+    assert "TOO__" not in s.getvalue()  # hyp token shorter, padded on lab? no:
+    assert "TOO " in s.getvalue()
+    # ref 'THREE'(5) vs hyp 'THREE'(5): equal; 'TWO'(3) vs 'TOO'(3): equal.
+    # Force an uneven pair to see the underline:
+    hyp.write_text("u1\tone t three four five six\n")
+    s = io.StringIO()
+    score_files(str(ref), str(hyp), char=False, verbose=True,
+                padding_symbol="_", stream=s)
+    assert "T__ " in s.getvalue()  # 'T' padded to width of 'TWO'
+
+    # cluster file: per-cluster WER rows
+    cl = tmp_path / "clusters"
+    cl.write_text("<Numbers> ONE TWO THREE </Numbers>\n<Rest> FOUR FIVE SIX </Rest>\n")
+    assert read_cluster_file(str(cl)) == [
+        ("Numbers", ["ONE", "TWO", "THREE"]),
+        ("Rest", ["FOUR", "FIVE", "SIX"]),
+    ]
+    hyp.write_text("u1\tone too three four five six\n")
+    s = io.StringIO()
+    score_files(str(ref), str(hyp), char=False, cluster_file=str(cl), stream=s)
+    out = s.getvalue()
+    assert "Numbers -> 33.33 %" in out
+    assert "Rest -> 0.00 %" in out
+
+    # CLI plumbs all three flags
+    rc = main([f"--cluster={cl}", "--maxw=2", "--padding-symbol=underline",
+               "--char=0", "-v=1", str(ref), str(hyp)])
+    assert rc == 0
