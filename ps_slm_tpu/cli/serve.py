@@ -21,6 +21,14 @@ with the text decoded so far at every pool harvest — token streaming;
 greedy/speculative pools only).
 The pool keeps the device busy across requests; results stream as soon as
 each utterance finishes (docs/PERF.md serving numbers).
+
+Routing (``serve_route=auto|pool|static``, default auto): short-completion
+workloads are ~4x faster through static batching (docs/PERF.md
+pool-vs-static on the trained checkpoint), so "auto" probes the first
+``route_probe`` completions in the pool and switches to
+``inference/static_serve.py`` when their median length is under
+``route_static_below`` tokens.  ``stream_partials`` / ``speculative_ctc``
+always serve through the pool.
 """
 
 from __future__ import annotations
@@ -79,10 +87,19 @@ def main(argv=None, *, stdin=None, stdout=None):
             "speculative_ctc needs the encoder BPE model "
             "(model_config.encoder_path)"
         )
-    # every serve path routes through a slot pool — validate unconditionally
-    from ps_slm_tpu.inference import validate_pool_decode_knobs
+    # routing (serve_route): streaming/speculative pin the pool; otherwise
+    # "auto" probes completion lengths and picks pool vs static batching
+    route = tc.serve_route
+    if route not in ("auto", "pool", "static"):
+        raise ValueError(f"serve_route must be auto|pool|static, got {route!r}")
+    if tc.stream_partials or tc.speculative_ctc:
+        route = "pool"
+    if route != "static":
+        # pool paths implement plain greedy/beam only — validate the knobs
+        # they would silently ignore (the static path honors them)
+        from ps_slm_tpu.inference import validate_pool_decode_knobs
 
-    validate_pool_decode_knobs(tc, "serve (slot-pool decoding)")
+        validate_pool_decode_knobs(tc, "serve (slot-pool decoding)")
 
     model = get_model_factory(mc.factory)(
         tc, mc, rng=jax.random.PRNGKey(tc.seed), dtype=dtype
@@ -192,10 +209,7 @@ def main(argv=None, *, stdin=None, stdout=None):
                 yield sample.key, jb
 
     from ps_slm_tpu.inference import make_pool_decoder
-
-    dec = make_pool_decoder(
-        model, tc, dc, eos_token_id=tokenizer.eos_token_id
-    )
+    from ps_slm_tpu.inference.static_serve import StaticBatchDecoder
 
     on_partial = None
     if tc.stream_partials:
@@ -209,8 +223,64 @@ def main(argv=None, *, stdin=None, stdout=None):
             }) + "\n")
             stdout.flush()
 
+    def make_static():
+        return StaticBatchDecoder(
+            model, tc, dc, eos_token_id=tokenizer.eos_token_id
+        )
+
+    def make_pool():
+        return make_pool_decoder(
+            model, tc, dc, eos_token_id=tokenizer.eos_token_id
+        )
+
+    def routed(req_iter):
+        """serve_route dispatch.  "auto": the first route_probe completions
+        run in the pool (it serves a cold start with unknown lengths best);
+        if their median completion length is under route_static_below the
+        remaining stream moves to static batching — the measured 4x winner
+        on short-answer workloads (docs/PERF.md pool-vs-static)."""
+        if route == "static":
+            yield from make_static().run(req_iter)
+            return
+        if route == "pool":
+            yield from make_pool().run(req_iter, on_partial=on_partial)
+            return
+        it = iter(req_iter)
+        admitted = {"n": 0}
+
+        def probe():
+            while admitted["n"] < tc.route_probe:
+                try:
+                    item = next(it)
+                except StopIteration:
+                    return
+                if item is not None:
+                    admitted["n"] += 1
+                yield item
+
+        lens = []
+        pool = make_pool()
+        for key, toks in pool.run(probe(), on_partial=on_partial):
+            lens.append(len(toks))
+            yield key, toks
+        if admitted["n"] < tc.route_probe:
+            return  # source exhausted during the probe
+        median = sorted(lens)[len(lens) // 2] if lens else 0
+        if median < tc.route_static_below:
+            logger.info(
+                f"serve_route=auto: median completion {median} tok < "
+                f"{tc.route_static_below} — routing to static batching"
+            )
+            yield from make_static().run(it)
+        else:
+            logger.info(
+                f"serve_route=auto: median completion {median} tok — "
+                "staying on the slot pool"
+            )
+            yield from pool.run(it, on_partial=on_partial)
+
     n = 0
-    for key, toks in dec.run(requests(), on_partial=on_partial):
+    for key, toks in routed(requests()):
         stdout.write(json.dumps(
             {"key": key, "text": tokenizer.decode(toks)}
         ) + "\n")

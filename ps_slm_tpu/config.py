@@ -181,6 +181,15 @@ class TrainConfig:
     # cli/serve.py: also emit {"key", "partial": true, "text"} lines with
     # the text decoded so far at every pool harvest (greedy/spec pools)
     stream_partials: bool = False
+    # cli/serve.py request routing: "auto" probes the first route_probe
+    # completions through the slot pool and switches to static batching
+    # (inference/static_serve.py) when the median completion is under
+    # route_static_below tokens (static wins ~4x on short answers,
+    # docs/PERF.md); "pool"/"static" force one path.  Streaming and
+    # speculative serving always use the pool.
+    serve_route: str = "auto"
+    route_probe: int = 16
+    route_static_below: int = 32
     # CTC-draft speculative decoding (greedy only): the CTC transcript is
     # verified in windows, output bit-identical (inference/speculative.py)
     speculative_ctc: bool = False

@@ -513,3 +513,86 @@ def test_serve_cli_survives_bad_requests(fixtures, tmp_path):
     assert set(served) == {g["key"] for g in good}
     assert len(errors) == 2
     assert any(r["key"] == "missing" for r in errors)
+
+
+def test_serve_cli_static_route(fixtures, tmp_path):
+    """serve_route=static: every request answered via the static batch
+    server (inference/static_serve.py), same answer set as the pool."""
+    import io
+
+    from ps_slm_tpu.cli.serve import main
+
+    reqs = tmp_path / "requests.jsonl"
+    rows = (fixtures / "test" / "multitask.jsonl").read_text().splitlines()
+    reqs.write_text("\n".join(
+        json.dumps({
+            "key": json.loads(r)["key"], "path": json.loads(r)["path"],
+        }) for r in rows
+    ) + "\n")
+    base_args = _common_args(fixtures) + [
+        "++train_config.num_beams=1",
+        "++train_config.max_new_tokens=6",
+        "++train_config.decode_slots=3",
+        "++dataset_config.eval_max_frame_length=64",
+        str(reqs),
+    ]
+
+    out_static = io.StringIO()
+    rc = main(base_args + ["++train_config.serve_route=static"],
+              stdout=out_static)
+    assert rc == 0
+    static_res = {
+        j["key"]: j["text"]
+        for j in map(json.loads, out_static.getvalue().splitlines())
+    }
+    assert set(static_res) == {f"utt{i}" for i in range(8)}
+
+    out_pool = io.StringIO()
+    rc = main(base_args + ["++train_config.serve_route=pool"],
+              stdout=out_pool)
+    assert rc == 0
+    pool_res = {
+        j["key"]: j["text"]
+        for j in map(json.loads, out_pool.getvalue().splitlines())
+    }
+    assert set(pool_res) == set(static_res)
+    # same greedy decode modulo random-init tie-flips (see
+    # _assert_near_identical rationale)
+    same = sum(static_res[k] == pool_res[k] for k in static_res)
+    assert same >= len(static_res) // 2, (static_res, pool_res)
+
+
+def test_serve_cli_auto_routes_to_static(fixtures, tmp_path, caplog):
+    """serve_route=auto probes the pool then switches to static when
+    completions are short; all requests still answered exactly once."""
+    import io
+    import logging
+
+    from ps_slm_tpu.cli.serve import main
+
+    reqs = tmp_path / "requests.jsonl"
+    rows = (fixtures / "test" / "multitask.jsonl").read_text().splitlines()
+    reqs.write_text("\n".join(
+        json.dumps({
+            "key": json.loads(r)["key"], "path": json.loads(r)["path"],
+        }) for r in rows
+    ) + "\n")
+
+    out = io.StringIO()
+    with caplog.at_level(logging.INFO, logger="serve"):
+        rc = main(_common_args(fixtures) + [
+            "++train_config.num_beams=1",
+            "++train_config.max_new_tokens=6",
+            "++train_config.decode_slots=3",
+            "++train_config.serve_route=auto",
+            "++train_config.route_probe=2",
+            "++train_config.route_static_below=100",
+            "++dataset_config.eval_max_frame_length=64",
+            str(reqs),
+        ], stdout=out)
+    assert rc == 0
+    results = [json.loads(l) for l in out.getvalue().splitlines()]
+    keys = [r["key"] for r in results]
+    assert sorted(keys) == sorted(f"utt{i}" for i in range(8))
+    assert len(keys) == len(set(keys))  # exactly once
+    assert any("routing to static" in r.message for r in caplog.records)
