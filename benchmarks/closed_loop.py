@@ -4,7 +4,9 @@ The reference's de-facto correctness bar is the decode->clean->WER pipeline
 (`/root/reference/Multitask/scripts/decode_sensevoice.sh:60-97`) run on
 released checkpoints.  Without asset access, this script closes the loop
 self-contained: it fabricates a deterministic *audio-grounded* task — a
-16-word vocabulary where each word is a distinct pure tone, utterances are
+64-word vocabulary where each word is a distinct DTMF-style dual tone
+(with additive noise and per-word rate variation — the round-4 hardening
+so held-out WER is a small-but-nonzero regression canary), utterances are
 unseen random word sequences — then drives the REAL production surfaces
 end to end:
 
@@ -45,44 +47,88 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RATE = 16000
-WORDS = [
-    "red", "blue", "green", "gold", "iron", "wolf", "hawk", "bear",
-    "oak", "elm", "ash", "fern", "moon", "star", "rain", "snow",
-]
-# target-language vocabulary for the TRN task: disjoint from WORDS, so the
-# model must emit tokens that never appear in the CTC/audio stream — the
-# closed-loop analogue of the reference's EN2ZH translation task
-# (speech_dataset_large.py:151-160 prompts per task; BASELINE.md quality row)
-ZH_WORDS = [
-    "hong", "lan", "lyu", "jin", "tie", "lang", "ying", "xiong",
-    "xiang", "yushu", "cen", "jue", "yue", "xing", "yu", "xue",
-]
 TONE_SEC = 0.25
 GAP_SEC = 0.05
 
+# Round-4 hardening (VERDICT r3 "what's weak" #1): the 16-pure-tone corpus
+# saturated at 0.00% WER, leaving no regression headroom.  The vocabulary
+# is now generated — default 64 words — each word a DTMF-style dual tone
+# (row bank x column bank), with additive noise and per-word duration
+# variation, so held-out WER lands small-but-nonzero and future perf work
+# is gated on not regressing it.
 
-def synth_utterance(words, rng) -> np.ndarray:
-    """Each word is a pure tone at a word-specific frequency (mel-spaced
-    300..3000 Hz) with a small random phase; words separated by silence."""
+_CONS = ["b", "d", "f", "g", "k", "l", "m", "n"]
+_ZH_CONS = ["z", "q", "x", "c", "h", "j", "w", "y"]
+_VOWS = ["a", "e", "i", "o", "u", "ar", "en", "or"]
+
+
+def make_vocab(n_words: int = 64):
+    """(words, zh_words): consonant x vowel grids, mutually disjoint.
+
+    zh_words is the target-language vocabulary for the TRN task: disjoint
+    from words, so the model must emit tokens that never appear in the
+    CTC/audio stream — the closed-loop analogue of the reference's EN2ZH
+    translation task (speech_dataset_large.py:151-160 prompts per task)."""
+    if n_words > len(_CONS) * len(_VOWS):
+        raise ValueError(f"n_words <= {len(_CONS) * len(_VOWS)}")
+    words = [c + v for c in _CONS for v in _VOWS][:n_words]
+    zh = [c + v for c in _ZH_CONS for v in _VOWS][:n_words]
+    return words, zh
+
+
+def _tone_banks(n_words: int):
+    """Dual-tone frequency banks: row bank 300..1000 Hz, column bank
+    1400..3800 Hz, log-spaced.  64 words = 8x8 combinations, far better
+    separated under fbank resolution than 64 single log-spaced tones."""
+    n_a = int(np.ceil(np.sqrt(n_words)))
+    n_b = int(np.ceil(n_words / n_a))
+    bank_a = 300.0 * (1000.0 / 300.0) ** (
+        np.arange(n_a) / max(n_a - 1, 1)
+    )
+    bank_b = 1400.0 * (3800.0 / 1400.0) ** (
+        np.arange(n_b) / max(n_b - 1, 1)
+    )
+    return bank_a, bank_b
+
+
+def synth_utterance(
+    words, rng, vocab, *, noise_std: float = 0.0, rate_var: float = 0.0,
+) -> np.ndarray:
+    """Each word is a dual tone (row+column frequency) with random phases;
+    words separated by silence.  ``noise_std``: additive white noise over
+    the whole utterance; ``rate_var``: per-word duration scale drawn from
+    U(1-rate_var, 1+rate_var)."""
+    bank_a, bank_b = _tone_banks(len(vocab))
+    n_b = len(bank_b)
     chunks = [np.zeros(int(GAP_SEC * RATE), np.float32)]
     for w in words:
-        i = WORDS.index(w)
-        freq = 300.0 * (10 ** (i / 15.0))  # log-spaced 300..3000 Hz
-        t = np.arange(int(TONE_SEC * RATE)) / RATE
-        phase = rng.uniform(0, 2 * np.pi)
-        tone = 0.3 * np.sin(2 * np.pi * freq * t + phase)
+        i = vocab.index(w)
+        f1 = bank_a[i // n_b]
+        f2 = bank_b[i % n_b]
+        dur = TONE_SEC * (
+            rng.uniform(1.0 - rate_var, 1.0 + rate_var) if rate_var else 1.0
+        )
+        t = np.arange(int(dur * RATE)) / RATE
+        tone = 0.15 * np.sin(2 * np.pi * f1 * t + rng.uniform(0, 2 * np.pi))
+        tone = tone + 0.15 * np.sin(
+            2 * np.pi * f2 * t + rng.uniform(0, 2 * np.pi)
+        )
         chunks += [tone.astype(np.float32),
                    np.zeros(int(GAP_SEC * RATE), np.float32)]
-    return np.concatenate(chunks)
+    wav = np.concatenate(chunks)
+    if noise_std:
+        wav = wav + rng.normal(0.0, noise_std, wav.shape)
+    return wav.astype(np.float32)
 
 
 def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0,
-                   multitask=True):
+                   multitask=True, n_words=64, noise_std=0.05,
+                   rate_var=0.3):
     """Wav ark + manifests with *sequence-disjoint* splits.
 
     ``multitask``: each utterance also gets two more manifest rows — task
     "REV" (target = the word sequence REVERSED) and task "TRN" (target =
-    the word-for-word translation into the disjoint ZH_WORDS vocabulary).
+    the word-for-word translation into the disjoint zh vocabulary).
     Same audio, different prompt, different required output: REV tests
     prompt-conditioned reordering, TRN tests emitting tokens that never
     appear in the audio-grounded source vocabulary at all.  Together they
@@ -90,16 +136,17 @@ def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0,
     (ASR + EN2ZH etc., speech_dataset_large.py:151-160)."""
     from ps_slm_tpu.data import audio_io
 
+    words_v, zh_v = make_vocab(n_words)
     rng = np.random.default_rng(seed)
     seen = set()
 
     def draw():
         while True:
             n = int(rng.integers(3, 7))
-            seq = tuple(rng.choice(len(WORDS), size=n))
+            seq = tuple(rng.choice(n_words, size=n))
             if seq not in seen:
                 seen.add(seq)
-                return [WORDS[i] for i in seq]
+                return [words_v[i] for i in seq]
 
     splits = {"train": n_train, "dev": n_dev, "test": n_test}
     entries, manifests = {}, {}
@@ -108,7 +155,9 @@ def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0,
         for j in range(n):
             key = f"{split}{j}"
             words = draw()
-            entries[key] = (RATE, synth_utterance(words, rng))
+            entries[key] = (RATE, synth_utterance(
+                words, rng, words_v, noise_std=noise_std, rate_var=rate_var,
+            ))
             manifests[split].append((key, "ASR", " ".join(words)))
             if multitask:
                 manifests[split].append(
@@ -116,7 +165,7 @@ def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0,
                 )
                 manifests[split].append((
                     key, "TRN",
-                    " ".join(ZH_WORDS[WORDS.index(w)] for w in words),
+                    " ".join(zh_v[words_v.index(w)] for w in words),
                 ))
 
     ark = os.path.join(workdir, "wav.ark")
@@ -138,7 +187,7 @@ def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0,
         f.write(json.dumps({"task": "TRN", "prompt": "translate"}) + "\n")
 
 
-def build_llm_fixture(workdir: str, hidden=64, layers=2) -> str:
+def build_llm_fixture(workdir: str, hidden=64, layers=2, n_words=64) -> str:
     """Tiny word-level HF tokenizer + random-init HF Qwen2 checkpoint so the
     closed loop exercises the real safetensors/AutoTokenizer load paths
     (deterministic across the train and decode processes, unlike the
@@ -152,11 +201,12 @@ def build_llm_fixture(workdir: str, hidden=64, layers=2) -> str:
     path = os.path.join(workdir, "tiny_llm")
     os.makedirs(path, exist_ok=True)
 
+    words_v, zh_v = make_vocab(n_words)
     specials = ["<unk>", "</s>", "<speech>"]
     vocab = {
         t: i for i, t in enumerate(
             specials + ["transcribe", "reverse", "translate"]
-            + WORDS + ZH_WORDS
+            + words_v + zh_v
         )
     }
     tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
@@ -181,16 +231,17 @@ def build_llm_fixture(workdir: str, hidden=64, layers=2) -> str:
     return path
 
 
-def _args(workdir, llm_path, out_dir, steps_cfg, frame_budget=2000):
+def _args(workdir, llm_path, out_dir, steps_cfg, frame_budget=2000,
+          enc_vocab=80):
     return [
         f"++model_config.llm_path={llm_path}",
         "++model_config.encoder_projector=linear-silu",
-        "++model_config.encoder_dim=32",
+        f"++model_config.encoder_dim={enc_vocab}",
         "++model_config.llm_dim=64",
         ('++model_config.encoder_config_overrides='
          '{"input_size": 560, "output_size": 32, "attention_heads": 2, '
          '"linear_units": 64, "num_blocks": 3, "tp_blocks": 0, '
-         '"vocab_size": 32}'),
+         f'"vocab_size": {enc_vocab}}}'),
         # audio-TASU: real CTC posterior into the projector (SURVEY §2.B.3)
         "++train_config.ctc_posterior=true",
         "++train_config.do_psd=false",
@@ -217,22 +268,28 @@ def _args(workdir, llm_path, out_dir, steps_cfg, frame_budget=2000):
 
 
 def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024,
-        frame_budget=2000) -> dict:
+        frame_budget=2000, n_words=64, noise_std=0.05,
+        rate_var=0.3) -> dict:
     """Build fixtures, train, decode held-out, score.  Returns the metrics
     dict (wer in percent, plus counts from tools/wer).
 
-    n_train=1024 random sequences over a 16-word vocab makes sequence
-    memorization useless (16^3..16^6 possible utterances): teacher-forced
-    accuracy can only transfer to held-out WER through the audio."""
+    n_train=1024 random sequences over the word vocab makes sequence
+    memorization useless (64^3..64^6 possible utterances): teacher-forced
+    accuracy can only transfer to held-out WER through the audio.  The
+    default corpus (64 dual-tone words, noise_std=0.05, rate_var=0.3) is
+    the round-4 quality canary: held-out WER should land small but NONZERO
+    — the regression gate is in docs/TESTING.md."""
     from ps_slm_tpu.cli.decode import main as decode_main
     from ps_slm_tpu.cli.finetune import main as finetune_main
     from ps_slm_tpu.tools.clean_marks import clean_file
     from ps_slm_tpu.tools.wer import score_files
 
     os.makedirs(workdir, exist_ok=True)
-    build_fixtures(workdir, n_train=n_train, seed=seed)
-    llm_path = build_llm_fixture(workdir)
+    build_fixtures(workdir, n_train=n_train, seed=seed, n_words=n_words,
+                   noise_std=noise_std, rate_var=rate_var)
+    llm_path = build_llm_fixture(workdir, n_words=n_words)
     out_dir = os.path.join(workdir, "out")
+    enc_vocab = max(16, n_words + 16)
 
     steps = [
         f"++train_config.num_epochs={epochs}",
@@ -242,8 +299,11 @@ def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024,
         "++train_config.total_steps=1000",
         f"++train_config.seed={seed}",
     ]
+    with open(os.path.join(workdir, "closed_loop_config.json"), "w") as f:
+        json.dump({"n_words": n_words, "enc_vocab": enc_vocab,
+                   "noise_std": noise_std, "rate_var": rate_var}, f)
     rc = finetune_main(
-        _args(workdir, llm_path, out_dir, steps, frame_budget)
+        _args(workdir, llm_path, out_dir, steps, frame_budget, enc_vocab)
     )
     assert rc == 0
 
@@ -257,7 +317,7 @@ def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024,
     decode_log = os.path.join(workdir, "decode", "test")
     rc = decode_main(_args(workdir, llm_path, out_dir, [
         f"ckpt_path={ckpt}", f"decode_log={decode_log}",
-    ]))
+    ], enc_vocab=enc_vocab))
     assert rc == 0
 
     # the reference scoring pipeline (decode_sensevoice.sh:94-97)
@@ -325,8 +385,11 @@ def pool_compare(workdir: str, ckpt: str, *, slots=8, repeats=3) -> dict:
     from ps_slm_tpu.training import checkpoint as ckpt_lib
 
     llm_path = os.path.join(workdir, "tiny_llm")
+    with open(os.path.join(workdir, "closed_loop_config.json")) as f:
+        loop_cfg = json.load(f)
     cfg = parse_cli(
-        _args(workdir, llm_path, os.path.join(workdir, "out"), []),
+        _args(workdir, llm_path, os.path.join(workdir, "out"), [],
+              enc_vocab=loop_cfg["enc_vocab"]),
         RunConfig(),
     )
     tc, mc, dc = cfg.train_config, cfg.model_config, cfg.dataset_config
@@ -422,6 +485,9 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     workdir = "/tmp/ps_closed_loop"
     epochs = 50
+    n_words = 64
+    noise_std = 0.05
+    rate_var = 0.3
     do_pool = "--pool-compare" in argv
     for a in argv:
         if a in ("--platform", "cpu", "--pool-compare"):
@@ -430,17 +496,25 @@ def main(argv=None):
             workdir = a.split("=", 1)[1]
         elif a.startswith("--epochs="):
             epochs = int(a.split("=", 1)[1])
+        elif a.startswith("--n-words="):
+            n_words = int(a.split("=", 1)[1])
+        elif a.startswith("--noise-std="):
+            noise_std = float(a.split("=", 1)[1])
+        elif a.startswith("--rate-var="):
+            rate_var = float(a.split("=", 1)[1])
     if "--platform" in argv and "cpu" in argv:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
-    result = run(workdir, epochs=epochs)
+    result = run(workdir, epochs=epochs, n_words=n_words,
+                 noise_std=noise_std, rate_var=rate_var)
     print(json.dumps({
         "metric": "closed_loop_wer", "value": result["wer"],
         "unit": "%WER", "n_ref_tokens": result["all"],
         "per_task_wer": result["per_task_wer"],
+        "n_words": n_words, "noise_std": noise_std, "rate_var": rate_var,
         "ckpt": result["ckpt"],
     }))
     if do_pool:

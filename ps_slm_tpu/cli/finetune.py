@@ -57,9 +57,11 @@ def main(argv=None):
     dtype = jnp.bfloat16 if tc.mixed_precision else jnp.float32
     tokenizer = load_tokenizer(mc.llm_path or None)
     encoder_tokenizer = None
-    if mc.encoder_path:
+    if mc.encoder_bpe_path or mc.encoder_path:
         try:
-            encoder_tokenizer = SenseVoiceTokenizer(mc.encoder_path)
+            encoder_tokenizer = SenseVoiceTokenizer(
+                mc.encoder_bpe_path or mc.encoder_path
+            )
         except (FileNotFoundError, OSError):
             logger.warning("no encoder BPE model found; gt_ids disabled")
 

@@ -85,6 +85,10 @@ class ModelConfig:
     encoder_projector: str = "linear-silu"
     encoder_projector_ds_rate: int = 1
     ctc_linear: Optional[str] = None   # pretrained ctc_head for simple_linear (ps-slm.py:64-85)
+    # encoder BPE model directory when it does not live next to the encoder
+    # weights (default: encoder_path, matching the reference's tokenizer
+    # lookup in model/tokenizer.py:5-29)
+    encoder_bpe_path: Optional[str] = None
     qformer_layers: int = 8
     qformer_heads: int = 12     # static head count (NOT a param leaf)
     query_len: int = 64
