@@ -168,6 +168,7 @@ def build_fixtures(workdir: str, n_train=384, n_dev=16, n_test=32, seed=0,
                     " ".join(zh_v[words_v.index(w)] for w in words),
                 ))
 
+    os.makedirs(workdir, exist_ok=True)
     ark = os.path.join(workdir, "wav.ark")
     offsets = audio_io.write_kaldi_wav_ark(ark, entries)
     for split, rows in manifests.items():
