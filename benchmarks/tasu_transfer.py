@@ -43,7 +43,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from benchmarks.closed_loop import (  # noqa: E402
-    build_fixtures, build_llm_fixture, make_vocab,
+    RATE, build_fixtures, build_llm_fixture, make_vocab,
 )
 
 RICH = [0, 1, 2, 2]  # constant rich labels (ids echo encode_speech queries)
@@ -137,9 +137,14 @@ def train_encoder(
     rng = np.random.default_rng(seed)
 
     def featurize(split_rows):
-        """Host-padded features + encoder-vocab targets for a row group."""
+        """Host-padded features + encoder-vocab targets for a row group.
+
+        Pad targets are bucketed (waveform to 0.5 s, text to 4 tokens) so
+        the jitted step sees a handful of shapes instead of one per group —
+        on TPU each novel shape is a fresh XLA compile."""
         wavs = [r[1] for r in split_rows]
-        w_max = max(len(w) for w in wavs)
+        w_bucket = RATE // 2
+        w_max = -(-max(len(w) for w in wavs) // w_bucket) * w_bucket
         wav = np.zeros((len(wavs), w_max), np.float32)
         wlen = np.zeros((len(wavs),), np.int32)
         for i, w in enumerate(wavs):
@@ -149,7 +154,7 @@ def train_encoder(
             jnp.asarray(wav), jnp.asarray(wlen), None, cfg=fcfg, train=False,
         )
         tgt = [enc_tok.encode(r[2]) for r in split_rows]
-        l_max = max(len(t) for t in tgt)
+        l_max = -(-max(len(t) for t in tgt) // 4) * 4
         text = np.zeros((len(tgt), 4 + l_max), np.int32)
         text[:, :4] = RICH
         tlens = np.zeros((len(tgt),), np.int32)
