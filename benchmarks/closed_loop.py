@@ -281,7 +281,7 @@ def _args(workdir, llm_path, out_dir, steps_cfg, frame_budget=2000,
 
 def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024,
         frame_budget=2000, n_words=64, noise_std=0.02,
-        rate_var=0.3) -> dict:
+        rate_var=0.3, ctc_warmstart_epochs=0) -> dict:
     """Build fixtures, train, decode held-out, score.  Returns the metrics
     dict (wer in percent, plus counts from tools/wer).
 
@@ -313,7 +313,43 @@ def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024,
     ]
     with open(os.path.join(workdir, "closed_loop_config.json"), "w") as f:
         json.dump({"n_words": n_words, "enc_vocab": enc_vocab,
-                   "noise_std": noise_std, "rate_var": rate_var}, f)
+                   "noise_std": noise_std, "rate_var": rate_var,
+                   "ctc_warmstart_epochs": ctc_warmstart_epochs}, f)
+
+    if ctc_warmstart_epochs:
+        # CTC-pretrain the encoder first, then joint-finetune — the
+        # reference's actual regime (pretrained SenseVoice loaded at
+        # ps-slm.py:163-170, then finetuned).  From-scratch joint training
+        # organizes the CTC bottleneck purely from LLM CE gradients, which
+        # stalls at 64 noisy words (measured: acc ~0.21 after 23 epochs);
+        # a short CTC stage (tasu_transfer stage A) unsticks it.
+        from benchmarks.tasu_transfer import export_encoder_bin, train_encoder
+        from ps_slm_tpu.models import sensevoice as sv
+
+        words_v, _ = make_vocab(n_words)
+
+        class _WordTok:
+            vocab_size = enc_vocab
+
+            @staticmethod
+            def encode(text):
+                return [words_v.index(w) + 4 for w in text.split()]
+
+        enc_cfg = sv.SenseVoiceConfig.tiny(
+            input_size=560, output_size=32, attention_heads=2,
+            linear_units=64, num_blocks=3, tp_blocks=0, vocab_size=enc_vocab,
+        )
+        enc_params, ter = train_encoder(
+            workdir, enc_cfg, _WordTok(), epochs=ctc_warmstart_epochs,
+            lr=lr, seed=seed,
+        )
+        print(json.dumps({"metric": "ctc_warmstart_dev_ter", "value": ter}))
+        enc_bin = export_encoder_bin(
+            workdir, enc_params, enc_cfg,
+            _args(workdir, llm_path, out_dir, [], frame_budget, enc_vocab),
+        )
+        steps.append(f"ckpt_path={enc_bin}")
+
     rc = finetune_main(
         _args(workdir, llm_path, out_dir, steps, frame_budget, enc_vocab)
     )
@@ -500,6 +536,7 @@ def main(argv=None):
     n_words = 64
     noise_std = 0.02
     rate_var = 0.3
+    ctc_warmstart = 0
     do_pool = "--pool-compare" in argv
     for a in argv:
         if a in ("--platform", "cpu", "--pool-compare"):
@@ -514,6 +551,8 @@ def main(argv=None):
             noise_std = float(a.split("=", 1)[1])
         elif a.startswith("--rate-var="):
             rate_var = float(a.split("=", 1)[1])
+        elif a.startswith("--ctc-warmstart="):
+            ctc_warmstart = int(a.split("=", 1)[1])
     if "--platform" in argv and "cpu" in argv:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
@@ -521,12 +560,14 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     result = run(workdir, epochs=epochs, n_words=n_words,
-                 noise_std=noise_std, rate_var=rate_var)
+                 noise_std=noise_std, rate_var=rate_var,
+                 ctc_warmstart_epochs=ctc_warmstart)
     print(json.dumps({
         "metric": "closed_loop_wer", "value": result["wer"],
         "unit": "%WER", "n_ref_tokens": result["all"],
         "per_task_wer": result["per_task_wer"],
         "n_words": n_words, "noise_std": noise_std, "rate_var": rate_var,
+        "ctc_warmstart_epochs": ctc_warmstart,
         "ckpt": result["ckpt"],
     }))
     if do_pool:

@@ -48,3 +48,23 @@ def test_closed_loop_pipeline(tmp_path):
     assert cmp["n_requests"] == 96
     assert 1 <= cmp["completion_lengths"]["min"]
     assert cmp["completion_lengths"]["max"] <= 12
+
+
+def test_closed_loop_ctc_warmstart(tmp_path):
+    """The --ctc-warmstart path: CTC-pretrain the encoder (tasu_transfer
+    stage A through closed_loop's word-id shim tokenizer), export the
+    partial encoder ckpt, and joint-finetune from it.  Mirrors the
+    reference regime (pretrained SenseVoice at ps-slm.py:163-170, then
+    finetuned); mechanics only — the TPU canary proves convergence."""
+    from benchmarks.closed_loop import run
+
+    result = run(str(tmp_path), epochs=4, n_train=96, frame_budget=400,
+                 n_words=8, noise_std=0.0, rate_var=0.0,
+                 ctc_warmstart_epochs=3)
+    assert result["all"] > 0
+    assert os.path.exists(os.path.join(str(tmp_path), "encoder_ctc.bin"))
+    import torch
+
+    keys = torch.load(os.path.join(str(tmp_path), "encoder_ctc.bin"),
+                      map_location="cpu", weights_only=True)
+    assert all(k.startswith("encoder.") for k in keys)
