@@ -254,15 +254,15 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     """RMSNorm with fp32 statistics (HF Qwen2RMSNorm semantics).
 
     Dispatches to the fused Pallas kernel on TPU (ops/norms.py)."""
-    from ps_slm_tpu.ops.norms import fused_rms_norm, norms_eligible
+    from ps_slm_tpu.ops.norms import (
+        fused_rms_norm, norms_eligible, rms_norm_ref,
+    )
 
     if norms_eligible(x.shape[-1]):
         return fused_rms_norm(x, weight, eps)
-    dtype = x.dtype
-    x = x.astype(jnp.float32)
-    var = jnp.mean(x * x, axis=-1, keepdims=True)
-    x = x * jax.lax.rsqrt(var + eps)
-    return (x * weight.astype(jnp.float32)).astype(dtype)
+    # jnp path with a residual-thin custom VJP (stashes bf16 x + fp32 rstd
+    # instead of the fp32 upcast — ops/norms.py rms_norm_ref)
+    return rms_norm_ref(x, weight, eps)
 
 
 def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:

@@ -51,9 +51,6 @@ def mha_reference(
     scale = scale if scale is not None else d ** -0.5
 
     qg = q.reshape(b, s, hkv, n_rep, d)
-    logits = (
-        jnp.einsum("bskrd,btkd->bkrst", qg, k).astype(jnp.float32) * scale
-    )  # [B,Hkv,rep,S,T]
 
     mask = None
     if kv_mask is not None:
@@ -67,15 +64,62 @@ def mha_reference(
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s, t), 2)
         causal_mask = (kv_pos <= q_pos)[:, None, None, :, :]  # [B,1,1,S,T]
         mask = causal_mask if mask is None else jnp.logical_and(mask, causal_mask)
+
+    out = _mha_core(qg, k, v, mask, scale)
+    return out.reshape(b, s, hq, d).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _mha_core(qg, k, v, mask, scale):
+    """Grouped-GQA attention core: qg [B,S,Hkv,rep,D] -> out [B,S,Hkv,rep,D].
+
+    custom_vjp so the softmax residual is stashed in ``v.dtype`` instead of
+    the fp32 JAX AD would keep: at flagship shapes the probs tensor is
+    [28L,5,2,6,543,543] = 2 GB/step of HBM write+read traffic per training
+    step (profiled in benchmarks/mfu_floor.py) — bf16 halves it.  On fp32
+    runs (CPU tests) v.dtype == fp32 and the math is unchanged.  The
+    backward recomputes nothing: dv/dp are matmuls off the stashed probs,
+    and the softmax VJP p*(dp - sum(p*dp)) runs in fp32 off the upcast.
+    """
+    out, _ = _mha_core_fwd(qg, k, v, mask, scale)
+    return out
+
+
+def _mha_probs(qg, k, mask, scale):
+    logits = (
+        jnp.einsum("bskrd,btkd->bkrst", qg, k).astype(jnp.float32) * scale
+    )  # [B,Hkv,rep,S,T]
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
-
     probs = jax.nn.softmax(logits, axis=-1)
     if mask is not None:
         # rows that are fully masked produce uniform softmax; zero them out
         probs = jnp.where(mask, probs, 0.0)
-    out = jnp.einsum("bkrst,btkd->bskrd", probs.astype(v.dtype), v)
-    return out.reshape(b, s, hq, d).astype(q.dtype)
+    return probs
+
+
+def _mha_core_fwd(qg, k, v, mask, scale):
+    probs = _mha_probs(qg, k, mask, scale).astype(v.dtype)
+    out = jnp.einsum("bkrst,btkd->bskrd", probs, v)
+    return out, (qg, k, v, probs)
+
+
+def _mha_core_bwd(scale, res, dout):
+    qg, k, v, probs = res
+    dv = jnp.einsum("bkrst,bskrd->btkd", probs, dout).astype(v.dtype)
+    dp = jnp.einsum("bskrd,btkd->bkrst", dout, v)
+    p32 = probs.astype(jnp.float32)
+    dp32 = dp.astype(jnp.float32)
+    # softmax VJP; masked positions have p == 0 so their ds vanishes, and
+    # fully-masked rows give ds == 0 — matching the where/NEG_INF chain
+    ds = p32 * (dp32 - jnp.sum(p32 * dp32, axis=-1, keepdims=True))
+    ds = (ds * scale).astype(k.dtype)
+    dqg = jnp.einsum("bkrst,btkd->bskrd", ds, k).astype(qg.dtype)
+    dk = jnp.einsum("bkrst,bskrd->btkd", ds, qg).astype(k.dtype)
+    return dqg, dk, dv, None
+
+
+_mha_core.defvjp(_mha_core_fwd, _mha_core_bwd)
 
 
 @functools.partial(

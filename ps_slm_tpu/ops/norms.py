@@ -309,3 +309,50 @@ def norms_eligible(d: int) -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+# ----------------------------------------------------------------------------
+# jnp RMSNorm with a residual-thin custom VJP (the default LLM path)
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def rms_norm_ref(x, weight, eps: float = 1e-6):
+    """RMSNorm with fp32 statistics (HF Qwen2RMSNorm semantics), plain jnp
+    ops so XLA fuses it into neighbours — but with a custom VJP that
+    stashes only (x in its ORIGINAL dtype, rstd fp32) instead of the fp32
+    upcast JAX AD keeps.
+
+    At the flagship bench shape the AD residual is f32[28,5,543,1536]
+    (467 MB/step written in forward, read back in backward — profiled in
+    benchmarks/mfu_floor.py); x is bf16 *before* the upcast, so stashing it
+    loses nothing: the backward recomputes the normalization from the same
+    values and the gradients are mathematically identical to autodiff.
+    """
+    out, _ = _rms_ref_fwd(x, weight, eps)
+    return out
+
+
+def _rms_ref_fwd(x, weight, eps):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    out = (x32 * rstd * weight.astype(jnp.float32)).astype(x.dtype)
+    return out, (x, weight, rstd)
+
+
+def _rms_ref_bwd(eps, res, g):
+    x, weight, rstd = res
+    x32 = x.astype(jnp.float32)
+    xn = x32 * rstd
+    g32 = g.astype(jnp.float32)
+    dxn = g32 * weight.astype(jnp.float32)
+    dw = jnp.sum(
+        (g32 * xn).reshape(-1, x.shape[-1]), axis=0
+    ).astype(weight.dtype)
+    dx = rstd * (
+        dxn - xn * jnp.mean(dxn * xn, axis=-1, keepdims=True)
+    )
+    return dx.astype(x.dtype), dw
+
+
+rms_norm_ref.defvjp(_rms_ref_fwd, _rms_ref_bwd)

@@ -104,3 +104,46 @@ def test_default_blocks_clamp_to_short_sequences():
     ref = mha_reference(q, k, v, kv_mask=mask, causal=True)
     out = flash_attention(q, k, v, kv_mask=mask, causal=True)  # defaults
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_mha_core_custom_vjp_matches_autodiff(dtype):
+    """mha_reference stashes probs in v.dtype (bf16 on TPU) via custom_vjp;
+    gradients must match plain autodiff through identical forward math."""
+    from ps_slm_tpu.ops.attention import _mha_probs
+
+    rng = np.random.default_rng(11)
+    b, s, hq, hkv, d = 2, 17, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, s, hq, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, d)), dtype)
+    g = jnp.asarray(rng.normal(size=(b, s, hq, d)), dtype)
+    kv_mask = jnp.asarray(rng.uniform(size=(b, s)) > 0.2)
+
+    def autodiff_ref(q, k, v):
+        scale = d ** -0.5
+        qg = q.reshape(b, s, hkv, hq // hkv, d)
+        mask = kv_mask[:, None, None, None, :]
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s, s), 1)
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s, s), 2)
+        causal = (kv_pos <= q_pos)[:, None, None, :, :]
+        mask = jnp.logical_and(mask, causal)
+        probs = _mha_probs(qg, k, mask, scale).astype(v.dtype)
+        out = jnp.einsum("bkrst,btkd->bskrd", probs, v)
+        return out.reshape(b, s, hq, d).astype(q.dtype)
+
+    def custom(q, k, v):
+        return mha_reference(q, k, v, kv_mask=kv_mask, causal=True)
+
+    np.testing.assert_allclose(
+        np.asarray(custom(q, k, v), np.float32),
+        np.asarray(autodiff_ref(q, k, v), np.float32), atol=1e-6,
+    )
+    loss = lambda f: lambda q, k, v: jnp.sum((f(q, k, v) * g).astype(jnp.float32))
+    ga = jax.grad(loss(autodiff_ref), argnums=(0, 1, 2))(q, k, v)
+    gc = jax.grad(loss(custom), argnums=(0, 1, 2))(q, k, v)
+    tol = 2e-5 if dtype == jnp.float32 else 1e-1
+    for a, c in zip(ga, gc):
+        np.testing.assert_allclose(
+            np.asarray(c, np.float32), np.asarray(a, np.float32), atol=tol
+        )

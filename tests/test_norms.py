@@ -86,3 +86,36 @@ def test_bf16_roundtrip():
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(ref, np.float32), atol=2e-2
     )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_rms_ref_custom_vjp_matches_autodiff(dtype):
+    """rms_norm_ref stashes (x, rstd) instead of the fp32 upcast; its
+    gradients must equal plain autodiff through the same math."""
+    from ps_slm_tpu.ops.norms import rms_norm_ref
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 9, 128)), dtype)
+    w = jnp.asarray(1 + 0.1 * rng.normal(size=128), dtype)
+    g = jnp.asarray(rng.normal(size=(2, 9, 128)), dtype)
+
+    y = rms_norm_ref(x, w)
+    assert y.dtype == dtype
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(_rms_ref(x, w), np.float32),
+        atol=1e-6 if dtype == jnp.float32 else 2e-2,
+    )
+
+    ga = jax.grad(
+        lambda x, w: jnp.sum((_rms_ref(x, w) * g).astype(jnp.float32)),
+        argnums=(0, 1),
+    )(x, w)
+    gc = jax.grad(
+        lambda x, w: jnp.sum((rms_norm_ref(x, w) * g).astype(jnp.float32)),
+        argnums=(0, 1),
+    )(x, w)
+    tol = 1e-5 if dtype == jnp.float32 else 6e-2
+    for a, c in zip(ga, gc):
+        np.testing.assert_allclose(
+            np.asarray(c, np.float32), np.asarray(a, np.float32), atol=tol
+        )
