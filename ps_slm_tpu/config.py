@@ -40,6 +40,11 @@ class PeftConfig:
     # prefix-tuning only (peft_method="prefix"; reference dispatch at
     # utils/config_utils.py:43-58 -> peft.PrefixTuningConfig)
     num_virtual_tokens: int = 30
+    # llama-adapter only (peft_method="llama_adapter"; reference dispatch
+    # -> peft.AdaptionPromptConfig): length of the learned adaption prompt
+    # and how many of the TOP decoder layers carry one
+    adapter_len: int = 10
+    adapter_layers: int = 30
 
 
 @dataclass

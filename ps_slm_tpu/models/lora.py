@@ -97,6 +97,44 @@ def add_prefix_tuning(
     return out
 
 
+def add_llama_adapter(
+    llm_params: Params, peft_cfg, llm_cfg, key, dtype=jnp.float32
+) -> Params:
+    """LLaMA-Adapter (peft_method="llama_adapter"): zero-init gated
+    adaption prompts.
+
+    The reference dispatches ``peft_method="llama_adapter"`` to peft's
+    ``AdaptionPromptConfig`` (``utils/config_utils.py:43-58``): the top
+    ``adapter_layers`` decoder layers each get ``adapter_len`` learned
+    prompt vectors whose K/V are computed by the layer's OWN k/v
+    projections; their attention context is added to the normal attention
+    output scaled by a per-layer gate initialised to ZERO, so training
+    starts exactly at the base model (the paper's zero-init attention).
+
+    Stacked-scan layout: leaves live at the layer stack level —
+    ``adaption_prompt`` [L, P, hidden] (init N(0,1), peft's ``normal_()``),
+    ``adaption_gate`` [L] zeros (trainable), and a frozen 0/1
+    ``adaption_mask`` [L] selecting the top ``adapter_layers`` layers
+    (peft adapts ``parents[-adapter_layers:]``).  Masked layers get
+    identically-zero gradients for both gate and prompt, so only the top
+    layers ever train — no per-layer module surgery needed under scan.
+    """
+    P = peft_cfg.adapter_len
+    L = llm_cfg.num_hidden_layers
+    n_adapt = min(peft_cfg.adapter_layers, L)
+    layers = dict(llm_params["layers"])
+    layers["adaption_prompt"] = jax.random.normal(
+        key, (L, P, llm_cfg.hidden_size)
+    ).astype(dtype)
+    layers["adaption_gate"] = jnp.zeros((L,), dtype)
+    layers["adaption_mask"] = (
+        jnp.arange(L) >= (L - n_adapt)
+    ).astype(dtype)
+    out = dict(llm_params)
+    out["layers"] = layers
+    return out
+
+
 def merge_lora(llm_params: Params) -> Params:
     """Fold adapters into the base kernels (for export / fast inference).
 

@@ -309,6 +309,37 @@ def _linear(x, p, lora_ctx=None):
     return y
 
 
+def _adaption_attention(lp, cfg, q):
+    """LLaMA-Adapter zero-init attention (models/lora.py::add_llama_adapter;
+    reference dispatch utils/config_utils.py:43-58 -> peft
+    AdaptionPromptConfig / AdaptedAttention semantics).
+
+    K/V of the learned per-layer prompt come from the layer's own
+    k_proj/v_proj on the RAW prompt (no layernorm, and — matching peft —
+    no rope on the adapter keys); the query is the already-roped q.  A
+    separate softmax over the P prompt positions is scaled by the
+    per-layer zero-init gate and the context is added to the attention
+    output BEFORE o_proj — equivalent to peft's post-o_proj add because
+    Qwen2's o_proj is bias-free and linear.  Never enters the KV cache
+    (recomputed from params each call, like the prefix)."""
+    b, s, nh, hd = q.shape
+    nkv = cfg.num_key_value_heads
+    prompt = lp["adaption_prompt"].astype(q.dtype)          # [P, hidden]
+    ak = _linear(prompt, lp["k_proj"]).reshape(-1, nkv, hd)
+    av = _linear(prompt, lp["v_proj"]).reshape(-1, nkv, hd)
+    qg = q.reshape(b, s, nkv, nh // nkv, hd)
+    scores = jnp.einsum("bskrd,pkd->bskrp", qg, ak).astype(jnp.float32)
+    probs = jax.nn.softmax(scores * (hd ** -0.5), axis=-1)
+    # gate AFTER softmax (peft: scores = adaption_gate * softmax(scores));
+    # the frozen 0/1 mask zeroes non-adapted layers AND their gradients
+    gate = (lp["adaption_gate"] * lp["adaption_mask"]).astype(jnp.float32)
+    ctx = jnp.einsum(
+        "bskrp,pkd->bskrd", (gate * probs).astype(q.dtype),
+        av.astype(q.dtype),
+    )
+    return ctx.reshape(b, s, nh, hd)
+
+
 def _block(
     lp: Params,
     cfg: Qwen2Config,
@@ -432,6 +463,8 @@ def _block(
             )
         new_cache = (k, v)
 
+    if "adaption_prompt" in lp:
+        attn = attn + _adaption_attention(lp, cfg, q)
     x = x + _linear(attn.reshape(b, s, nh * hd), lp["o_proj"], ctx(3))
 
     y = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)

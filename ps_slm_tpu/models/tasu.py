@@ -505,10 +505,8 @@ def model_factory(
 
     if train_config.use_peft:
         # reference PEFT dispatch is live code: peft_configs = {"lora",
-        # "llama_adapter", "prefix"} at utils/config_utils.py:43-58.  lora
-        # and prefix are implemented; llama_adapter (peft
-        # AdaptionPromptConfig) is not — its config fields don't exist in
-        # the shipped PeftConfig schema, so no reference recipe can reach it.
+        # "llama_adapter", "prefix"} at utils/config_utils.py:43-58; all
+        # three are implemented (models/lora.py).
         method = train_config.peft_config.peft_method
         if method == "lora":
             from ps_slm_tpu.models.lora import add_lora
@@ -524,9 +522,17 @@ def model_factory(
                 params["llm"], train_config.peft_config, llm_cfg,
                 jax.random.fold_in(rng, 19), dtype,
             )
+        elif method == "llama_adapter":
+            from ps_slm_tpu.models.lora import add_llama_adapter
+
+            params["llm"] = add_llama_adapter(
+                params["llm"], train_config.peft_config, llm_cfg,
+                jax.random.fold_in(rng, 23), dtype,
+            )
         else:
             raise NotImplementedError(
-                f"peft_method={method!r}; 'lora' and 'prefix' are supported"
+                f"peft_method={method!r}; 'lora', 'prefix' and "
+                "'llama_adapter' are supported"
             )
 
     flags = TasuFlags.from_train_config(train_config, model_config)
@@ -579,7 +585,12 @@ def trainable_mask(model: TasuModel, train_config) -> Params:
                 return False
             keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
             if any(
-                str(k) in ("lora_a", "lora_b", "prefix_k", "prefix_v")
+                str(k) in (
+                    "lora_a", "lora_b", "prefix_k", "prefix_v",
+                    # llama_adapter: prompt+gate train; the 0/1 layer mask
+                    # is a frozen buffer (models/lora.py::add_llama_adapter)
+                    "adaption_prompt", "adaption_gate",
+                )
                 for k in keys
             ):
                 return True

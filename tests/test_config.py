@@ -52,9 +52,9 @@ def test_to_dict_roundtrip():
 
 def test_unsupported_peft_method_raises():
     """Unimplemented peft_method must raise, not silently fall back (VERDICT
-    r1 weak item 7: no silently-ignored knobs).  lora and prefix are
-    implemented; llama_adapter (reference dispatch utils/config_utils.py:
-    43-58) is the documented deviation and must fail loudly."""
+    r1 weak item 7: no silently-ignored knobs).  lora, prefix and
+    llama_adapter (the full reference dispatch utils/config_utils.py:43-58)
+    are implemented; anything else must fail loudly."""
     import jax
     import pytest
 
@@ -62,7 +62,7 @@ def test_unsupported_peft_method_raises():
     from ps_slm_tpu.models.tasu import model_factory
 
     tc = TrainConfig(
-        use_peft=True, peft_config=PeftConfig(peft_method="llama_adapter"),
+        use_peft=True, peft_config=PeftConfig(peft_method="ia3"),
     )
     mc = ModelConfig(
         llm_path="", encoder_path=None, encoder_projector="linear-silu",

@@ -317,11 +317,64 @@ def test_prefix_tuning_flags():
     assert l_pre != l_zero
 
 
-def test_llama_adapter_unsupported():
+def test_llama_adapter_flags():
+    """peft_method="llama_adapter" (reference dispatch
+    utils/config_utils.py:43-58 -> peft.AdaptionPromptConfig): zero-init
+    gated adaption prompts on the top adapter_layers layers."""
     from ps_slm_tpu.config import PeftConfig
 
-    with pytest.raises(NotImplementedError):
-        _mk_model(
-            use_peft=True,
-            peft_config=PeftConfig(peft_method="llama_adapter"),
-        )
+    model, tc = _mk_model(
+        ctc_posterior=True, gt_emb=True, use_peft=True, freeze_llm=True,
+        freeze_encoder=True,
+        peft_config=PeftConfig(
+            peft_method="llama_adapter", adapter_len=4, adapter_layers=1,
+        ),
+    )
+    layers = model.params["llm"]["layers"]
+    L = layers["adaption_gate"].shape[0]
+    assert layers["adaption_prompt"].shape[:2] == (L, 4)
+    # top-1 layer adapted: mask = [0, ..., 0, 1]
+    np.testing.assert_array_equal(
+        np.asarray(layers["adaption_mask"]),
+        np.asarray([0.0] * (L - 1) + [1.0], np.float32),
+    )
+    assert "lora_a" not in layers["q_proj"]
+
+    mask = trainable_mask(model, tc)
+    assert mask["llm"]["layers"]["adaption_prompt"] is True
+    assert mask["llm"]["layers"]["adaption_gate"] is True
+    assert mask["llm"]["layers"]["adaption_mask"] is False  # frozen buffer
+    assert mask["llm"]["layers"]["q_proj"]["kernel"] is False
+
+    # zero-init gate: forward at init is EXACTLY the base model
+    batch = _mk_batch(np.random.default_rng(8), with_audio=False)
+    base, _ = _mk_model(
+        ctc_posterior=True, gt_emb=True, freeze_llm=True,
+        freeze_encoder=True,
+    )
+    l_init = _check(model, batch)
+    np.testing.assert_allclose(l_init, _check(base, batch), rtol=1e-6)
+
+    # opening the gate on the adapted layer changes the loss -> the prompt
+    # is really attended; gradients reach prompt+gate only on that layer
+    model.params["llm"]["layers"]["adaption_gate"] = (
+        jnp.full((L,), 0.5, layers["adaption_gate"].dtype)
+    )
+    l_open = _check(model, batch)
+    assert l_open != l_init
+
+    def loss_fn(g, p):
+        params = jax.tree_util.tree_map(lambda x: x, model.params)
+        lay = dict(params["llm"]["layers"])
+        lay["adaption_gate"], lay["adaption_prompt"] = g, p
+        params["llm"] = dict(params["llm"], layers=lay)
+        loss, _ = forward(model, params, batch, jax.random.PRNGKey(1))
+        return loss
+
+    gg, gp = jax.grad(loss_fn, argnums=(0, 1))(
+        model.params["llm"]["layers"]["adaption_gate"],
+        model.params["llm"]["layers"]["adaption_prompt"],
+    )
+    gg, gp = np.asarray(gg), np.asarray(gp)
+    assert np.all(gg[:-1] == 0) and gg[-1] != 0
+    assert np.all(gp[:-1] == 0) and np.any(gp[-1] != 0)
