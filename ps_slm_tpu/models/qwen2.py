@@ -533,6 +533,13 @@ def forward(
                 position_ids = base + (
                     off[:, None] if off.ndim == 1 else off
                 )
+        if "prefix_k" in params["layers"]:
+            # prefix-tuning: the learned KV prefix occupies the first P
+            # cache slots in the reference stack (peft past_key_values ->
+            # HF counts them in cache_position), so real tokens rope from
+            # position P, not 0 — required for logit parity with a peft
+            # PrefixTuning model (tests/test_qwen2_parity.py)
+            position_ids = position_ids + params["layers"]["prefix_k"].shape[1]
 
     x = inputs_embeds
 

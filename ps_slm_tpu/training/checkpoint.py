@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -550,17 +550,29 @@ _PEFT_MODULES = {
 
 
 def export_peft_adapters(model, path: str) -> Dict[str, np.ndarray]:
-    """Write LoRA adapters in the HF-PEFT ``adapter_model.bin`` key layout
-    (``base_model.model.model.layers.{i}.<module>.lora_{A,B}.weight``) so a
-    reference user can resume them with ``PeftModel.from_pretrained``
-    (ps-slm.py:110-113).  Weights are the raw A/B factors (NOT pre-scaled);
-    the consumer's alpha/r must match ours for the effective update to be
-    identical, so an ``adapter_config.json`` with r/alpha derived from the
-    exported leaves is written next to the weights."""
+    """Write the active PEFT method's adapters in the HF-PEFT
+    ``adapter_model.bin`` key layout so a reference user can resume them
+    with ``PeftModel.from_pretrained`` (ps-slm.py:110-113).
+
+    * LoRA: ``base_model.model.model.layers.{i}.<mod>.lora_{A,B}.weight``,
+      raw A/B factors (NOT pre-scaled); an ``adapter_config.json`` with
+      r/alpha derived from the exported leaves is written next to the
+      weights so the consumer applies the same effective scale.
+    * prefix-tuning: the single ``prompt_embeddings`` tensor
+      [P, L*2*nkv*hd] in peft's ``get_prompt`` view order ([:, 2l] = layer
+      l keys, [:, 2l+1] = values) — logit-parity-tested against a real
+      peft PrefixTuning Qwen2 (tests/test_qwen2_parity.py).
+    * llama_adapter: per-adapted-layer ``...self_attn.adaption_prompt``
+      [1, P, hidden] + ``...adaption_gate`` [1] (peft ADAPTION_PROMPT
+      layout; note peft itself only wires llama/mistral/gpt2, so a
+      reference user cannot load these onto Qwen2 with stock peft — the
+      export exists for llama-family interchange and inspection).
+    """
     tensors: Dict[str, np.ndarray] = {}
     layers = model.params["llm"]["layers"]
     target_modules = []
     r = alpha = None
+    config: Optional[dict] = None
     for name, hf_mod in _PEFT_MODULES.items():
         node = layers.get(name)
         if not isinstance(node, dict) or "lora_a" not in node:
@@ -575,6 +587,61 @@ def export_peft_adapters(model, path: str) -> Dict[str, np.ndarray]:
             pre = f"base_model.model.model.layers.{i}.{hf_mod}"
             tensors[f"{pre}.lora_A.weight"] = a[i].T        # [r, d_in]
             tensors[f"{pre}.lora_B.weight"] = bb[i].T       # [d_out, r]
+    if tensors:
+        config = {
+            "peft_type": "LORA",
+            "task_type": "CAUSAL_LM",
+            "r": int(r),
+            "lora_alpha": (
+                alpha if alpha is None else
+                int(alpha) if float(alpha).is_integer() else float(alpha)
+            ),
+            "lora_dropout": 0.0,
+            "bias": "none",
+            "target_modules": sorted(target_modules),
+            "inference_mode": True,
+        }
+
+    if "prefix_k" in layers:
+        pk = np.asarray(layers["prefix_k"], np.float32)  # [L, P, nkv, hd]
+        pv = np.asarray(layers["prefix_v"], np.float32)
+        L, P, nkv, hd = pk.shape
+        emb = np.empty((P, L * 2, nkv, hd), np.float32)
+        emb[:, 0::2] = pk.transpose(1, 0, 2, 3)
+        emb[:, 1::2] = pv.transpose(1, 0, 2, 3)
+        tensors["prompt_embeddings"] = emb.reshape(P, L * 2 * nkv * hd)
+        config = {
+            "peft_type": "PREFIX_TUNING",
+            "task_type": "CAUSAL_LM",
+            "num_virtual_tokens": int(P),
+            "num_layers": int(L),
+            # peft resolves these to the KV-head geometry for GQA models
+            "num_attention_heads": int(nkv),
+            "token_dim": int(nkv * hd),
+            "num_transformer_submodules": 1,
+            "prefix_projection": False,
+            "inference_mode": True,
+        }
+
+    if "adaption_prompt" in layers:
+        ap = np.asarray(layers["adaption_prompt"], np.float32)  # [L, P, h]
+        ag = np.asarray(layers["adaption_gate"], np.float32)    # [L]
+        am = np.asarray(layers["adaption_mask"], np.float32)
+        for l in range(ap.shape[0]):
+            if am[l] == 0.0:
+                continue  # peft only materializes adapted layers
+            pre = f"base_model.model.model.layers.{l}.self_attn"
+            tensors[f"{pre}.adaption_prompt"] = ap[l][None]
+            tensors[f"{pre}.adaption_gate"] = ag[l : l + 1]
+        config = {
+            "peft_type": "ADAPTION_PROMPT",
+            "task_type": "CAUSAL_LM",
+            "adapter_len": int(ap.shape[1]),
+            "adapter_layers": int(am.sum()),
+            "target_modules": "self_attn",
+            "inference_mode": True,
+        }
+
     if path:
         import torch
 
@@ -583,20 +650,7 @@ def export_peft_adapters(model, path: str) -> Dict[str, np.ndarray]:
             {k: torch.from_numpy(v.copy()) for k, v in tensors.items()},
             os.path.join(path, "adapter_model.bin"),
         )
-        if tensors:
-            config = {
-                "peft_type": "LORA",
-                "task_type": "CAUSAL_LM",
-                "r": int(r),
-                "lora_alpha": (
-                    alpha if alpha is None else
-                    int(alpha) if float(alpha).is_integer() else float(alpha)
-                ),
-                "lora_dropout": 0.0,
-                "bias": "none",
-                "target_modules": sorted(target_modules),
-                "inference_mode": True,
-            }
+        if config is not None:
             with open(os.path.join(path, "adapter_config.json"), "w") as f:
                 json.dump(config, f, indent=2)
     return tensors
@@ -652,6 +706,36 @@ def import_peft_adapters(model, path_or_tensors, dtype=jnp.float32) -> list:
             node["lora_scale"] = jnp.full(
                 node["lora_scale"].shape, cfg_scale, dtype
             )
+
+    # prefix-tuning: peft PREFIX_TUNING prompt_embeddings -> prefix_k/v
+    if "prompt_embeddings" in tensors and "prefix_k" in layers:
+        L, P, nkv, hd = layers["prefix_k"].shape
+        emb = np.asarray(tensors["prompt_embeddings"], np.float32).reshape(
+            P, L * 2, nkv, hd
+        )
+        layers["prefix_k"] = jnp.asarray(
+            emb[:, 0::2].transpose(1, 0, 2, 3), dtype
+        )
+        layers["prefix_v"] = jnp.asarray(
+            emb[:, 1::2].transpose(1, 0, 2, 3), dtype
+        )
+        loaded.append("prompt_embeddings")
+
+    # llama_adapter: peft ADAPTION_PROMPT per-layer prompt+gate
+    if "adaption_prompt" in layers:
+        ap = np.asarray(layers["adaption_prompt"], np.float32).copy()
+        ag = np.asarray(layers["adaption_gate"], np.float32).copy()
+        for l in range(ap.shape[0]):
+            pre = f"base_model.model.model.layers.{l}.self_attn"
+            kp, kg = f"{pre}.adaption_prompt", f"{pre}.adaption_gate"
+            if kp in tensors:
+                ap[l] = np.asarray(tensors[kp], np.float32).reshape(ap[l].shape)
+                loaded.append(kp)
+            if kg in tensors:
+                ag[l] = float(np.asarray(tensors[kg]).reshape(()))
+                loaded.append(kg)
+        layers["adaption_prompt"] = jnp.asarray(ap, dtype)
+        layers["adaption_gate"] = jnp.asarray(ag, dtype)
     return loaded
 
 

@@ -274,10 +274,15 @@ def test_prefix_tuning_cache_matches_full_forward():
     emb = qwen2.embed(params, jnp.asarray(ids[:, :s_prompt]))
     am = np.zeros((b, cap), bool)
     am[:, :s_prompt] = True
+    # explicit position_ids must carry the prefix shift themselves (the
+    # default-None path adds it; HF uses cache-aware positions likewise)
+    n_pre = params["layers"]["prefix_k"].shape[1]
     hidden, cache = qwen2.forward(
         params, cfg, emb,
         attention_mask=jnp.asarray(am),
-        position_ids=jnp.broadcast_to(jnp.arange(s_prompt), (b, s_prompt)),
+        position_ids=jnp.broadcast_to(
+            n_pre + jnp.arange(s_prompt), (b, s_prompt)
+        ),
         cache=cache, cache_index=0,
     )
     step_logits = [np.asarray(qwen2.unembed(params, hidden))[:, -1]]
@@ -287,7 +292,7 @@ def test_prefix_tuning_cache_matches_full_forward():
         hidden, cache = qwen2.forward(
             params, cfg, emb,
             attention_mask=jnp.asarray(am),
-            position_ids=jnp.full((b, 1), t, jnp.int32),
+            position_ids=jnp.full((b, 1), n_pre + t, jnp.int32),
             cache=cache, cache_index=t,
         )
         step_logits.append(np.asarray(qwen2.unembed(params, hidden))[:, -1])
@@ -303,3 +308,124 @@ def test_prefix_tuning_cache_matches_full_forward():
     z["layers"]["prefix_v"] = jnp.zeros_like(params["layers"]["prefix_v"])
     full_z = _jax_logits(z, cfg, ids, np.ones((b, s_total), np.int64))
     assert not np.allclose(full_z, full, atol=1e-5)
+
+
+def test_prefix_tuning_peft_interchange_logit_parity(tmp_path):
+    """Prefix-tuning adapter round trip against the REAL peft library
+    (checkpoint.export/import_peft_adapters, PREFIX_TUNING layout): a peft
+    PrefixTuning Qwen2's prompt_embeddings load onto our prefix_k/v leaves
+    and produce identical logits, and our export loads back into peft
+    unchanged.  Pins the [P, L*2, nkv, hd] view order AND the rope shift
+    (real tokens rope from position P when positions are defaulted)."""
+    peft = pytest.importorskip("peft")
+    from types import SimpleNamespace
+
+    import jax
+
+    from ps_slm_tpu.config import PeftConfig
+    from ps_slm_tpu.models.lora import add_prefix_tuning
+    from ps_slm_tpu.training.checkpoint import (
+        export_peft_adapters, import_peft_adapters,
+    )
+
+    hf_model, params, cfg = _build_pair(tie=False)
+    P = 4
+    pcfg = peft.PrefixTuningConfig(task_type="CAUSAL_LM", num_virtual_tokens=P)
+    pmodel = peft.get_peft_model(hf_model, pcfg).eval()
+    pmodel.save_pretrained(str(tmp_path / "adapter"), safe_serialization=False)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 9))
+    mask = np.ones((2, 9), bool)
+    with torch.no_grad():
+        want = pmodel(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).logits.numpy()
+
+    params = add_prefix_tuning(
+        params, PeftConfig(peft_method="prefix", num_virtual_tokens=P),
+        cfg, jax.random.PRNGKey(0), jnp.float32,
+    )
+    model = SimpleNamespace(params={"llm": params})
+    loaded = import_peft_adapters(model, str(tmp_path / "adapter"))
+    assert "prompt_embeddings" in loaded
+    got = _jax_logits(model.params["llm"], cfg, ids, mask)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+    # reverse: perturb OUR leaves, export, and load the artifact with
+    # PeftModel.from_pretrained on a fresh base model — the full
+    # reference-side resume path (config + weights)
+    layers = model.params["llm"]["layers"]
+    layers["prefix_k"] = layers["prefix_k"] * 1.5 + 0.1
+    layers["prefix_v"] = layers["prefix_v"] * 0.5 - 0.2
+    export_peft_adapters(model, str(tmp_path / "export"))
+    with open(tmp_path / "export" / "adapter_config.json") as f:
+        acfg = json.load(f)
+    assert acfg["peft_type"] == "PREFIX_TUNING"
+    assert acfg["num_virtual_tokens"] == P
+    got2 = _jax_logits(model.params["llm"], cfg, ids, mask)
+
+    hf_model2, _, _ = _build_pair(tie=False)
+    pmodel2 = peft.PeftModel.from_pretrained(
+        hf_model2, str(tmp_path / "export")
+    ).eval()
+    with torch.no_grad():
+        want2 = pmodel2(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).logits.numpy()
+    np.testing.assert_allclose(got2, want2, atol=2e-4, rtol=1e-4)
+
+
+def test_llama_adapter_interchange_roundtrip(tmp_path):
+    """ADAPTION_PROMPT export/import round trip: peft key layout
+    (base_model.model.model.layers.{i}.self_attn.adaption_{prompt,gate},
+    adapted layers only) and lossless leaf recovery.  peft itself only
+    wires llama/mistral/gpt2 — no stock-peft Qwen2 cross-check exists."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from ps_slm_tpu.config import PeftConfig
+    from ps_slm_tpu.models.lora import add_llama_adapter
+    from ps_slm_tpu.training.checkpoint import (
+        export_peft_adapters, import_peft_adapters,
+    )
+
+    _, params, cfg = _build_pair(tie=False)
+    pc = PeftConfig(peft_method="llama_adapter", adapter_len=3, adapter_layers=1)
+    params = add_llama_adapter(params, pc, cfg, jax.random.PRNGKey(2))
+    layers = params["layers"]
+    L = layers["adaption_gate"].shape[0]
+    layers["adaption_gate"] = jnp.arange(1, L + 1, dtype=jnp.float32)
+
+    model = SimpleNamespace(params={"llm": params})
+    tensors = export_peft_adapters(model, str(tmp_path / "export"))
+    # only the top (adapted) layer is materialized, peft key layout
+    assert set(tensors) == {
+        f"base_model.model.model.layers.{L - 1}.self_attn.adaption_prompt",
+        f"base_model.model.model.layers.{L - 1}.self_attn.adaption_gate",
+    }
+    assert tensors[
+        f"base_model.model.model.layers.{L - 1}.self_attn.adaption_prompt"
+    ].shape == (1, 3, cfg.hidden_size)
+    with open(tmp_path / "export" / "adapter_config.json") as f:
+        acfg = json.load(f)
+    assert acfg["peft_type"] == "ADAPTION_PROMPT"
+    assert acfg["adapter_len"] == 3 and acfg["adapter_layers"] == 1
+
+    # import onto fresh leaves: adapted layer recovered exactly; the
+    # non-adapted layer keeps its (inert) local init
+    params2 = add_llama_adapter(
+        dict(params, layers={
+            k: v for k, v in layers.items()
+            if not str(k).startswith("adaption_")
+        }), pc, cfg, jax.random.PRNGKey(9),
+    )
+    model2 = SimpleNamespace(params={"llm": params2})
+    loaded = import_peft_adapters(model2, str(tmp_path / "export"))
+    assert len(loaded) == 2
+    np.testing.assert_array_equal(
+        np.asarray(model2.params["llm"]["layers"]["adaption_prompt"][-1]),
+        np.asarray(layers["adaption_prompt"][-1]),
+    )
+    assert float(model2.params["llm"]["layers"]["adaption_gate"][-1]) == float(L)
