@@ -244,7 +244,7 @@ def build_llm_fixture(workdir: str, hidden=64, layers=2, n_words=64) -> str:
 
 
 def _args(workdir, llm_path, out_dir, steps_cfg, frame_budget=2000,
-          enc_vocab=80):
+          enc_vocab=80, do_psd=False):
     return [
         f"++model_config.llm_path={llm_path}",
         "++model_config.encoder_projector=linear-silu",
@@ -256,7 +256,7 @@ def _args(workdir, llm_path, out_dir, steps_cfg, frame_budget=2000,
          f'"vocab_size": {enc_vocab}}}'),
         # audio-TASU: real CTC posterior into the projector (SURVEY §2.B.3)
         "++train_config.ctc_posterior=true",
-        "++train_config.do_psd=false",
+        f"++train_config.do_psd={'true' if do_psd else 'false'}",
         "++train_config.gt_emb=false",
         "++train_config.freeze_llm=false",
         "++train_config.freeze_encoder=false",
@@ -303,18 +303,27 @@ def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024,
     out_dir = os.path.join(workdir, "out")
     enc_vocab = max(16, n_words + 16)
 
+    # ~20 budget-batched steps/epoch at the default corpus; total_steps
+    # must scale with epochs or the cosine schedule strangles long runs
     steps = [
         f"++train_config.num_epochs={epochs}",
         "++train_config.validation_interval=10",
         f"++train_config.lr={lr}",
         "++train_config.warmup_steps=50",
-        "++train_config.total_steps=1000",
+        f"++train_config.total_steps={max(epochs * 25, 1000)}",
         f"++train_config.seed={seed}",
     ]
+    # PSD (the reference's flagship audio config) collapses blank/repeat
+    # frames to ~token rate — with a CTC-warmstarted encoder the projector
+    # input matches the text-only pseudo-posterior framing and the joint
+    # stage converges like stage B; without warmstart the early posteriors
+    # are noise and PSD's collapse is degenerate, so keep frame rate there.
+    do_psd = bool(ctc_warmstart_epochs)
     with open(os.path.join(workdir, "closed_loop_config.json"), "w") as f:
         json.dump({"n_words": n_words, "enc_vocab": enc_vocab,
                    "noise_std": noise_std, "rate_var": rate_var,
-                   "ctc_warmstart_epochs": ctc_warmstart_epochs}, f)
+                   "ctc_warmstart_epochs": ctc_warmstart_epochs,
+                   "do_psd": do_psd}, f)
 
     if ctc_warmstart_epochs:
         # CTC-pretrain the encoder first, then joint-finetune — the
@@ -351,7 +360,8 @@ def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024,
         steps.append(f"ckpt_path={enc_bin}")
 
     rc = finetune_main(
-        _args(workdir, llm_path, out_dir, steps, frame_budget, enc_vocab)
+        _args(workdir, llm_path, out_dir, steps, frame_budget, enc_vocab,
+              do_psd=do_psd)
     )
     assert rc == 0
 
@@ -365,7 +375,7 @@ def run(workdir: str, *, epochs=40, lr=2e-3, seed=0, n_train=1024,
     decode_log = os.path.join(workdir, "decode", "test")
     rc = decode_main(_args(workdir, llm_path, out_dir, [
         f"ckpt_path={ckpt}", f"decode_log={decode_log}",
-    ], enc_vocab=enc_vocab))
+    ], enc_vocab=enc_vocab, do_psd=do_psd))
     assert rc == 0
 
     # the reference scoring pipeline (decode_sensevoice.sh:94-97)
@@ -437,7 +447,8 @@ def pool_compare(workdir: str, ckpt: str, *, slots=8, repeats=3) -> dict:
         loop_cfg = json.load(f)
     cfg = parse_cli(
         _args(workdir, llm_path, os.path.join(workdir, "out"), [],
-              enc_vocab=loop_cfg["enc_vocab"]),
+              enc_vocab=loop_cfg["enc_vocab"],
+              do_psd=loop_cfg.get("do_psd", False)),
         RunConfig(),
     )
     tc, mc, dc = cfg.train_config, cfg.model_config, cfg.dataset_config
