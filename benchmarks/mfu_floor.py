@@ -324,7 +324,8 @@ def main(argv=None):
     for r in rows:
         if r["ms"] < 0.01:
             continue
-        tflops = r["gflops"] / r["ms"] / 1e3 if r["ms"] else 0.0
+        # 1 GFLOP/ms == 1 TFLOP/s
+        tflops = r["gflops"] / r["ms"] if r["ms"] else 0.0
         gbs = r["mbytes"] / r["ms"] if r["ms"] else 0.0
         print(f"{r['ms']:8.2f} {100 * r['ms'] / leaf_ms:5.1f} "
               f"{r['phase']:5} {r['module']:22} {r['category']:20} "
