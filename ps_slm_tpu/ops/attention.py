@@ -101,18 +101,27 @@ def _mha_probs(qg, k, mask, scale):
 def _mha_core_fwd(qg, k, v, mask, scale):
     probs = _mha_probs(qg, k, mask, scale).astype(v.dtype)
     out = jnp.einsum("bkrst,btkd->bskrd", probs, v)
-    return out, (qg, k, v, probs)
+    return out, (qg, k, v, probs, out)
 
 
 def _mha_core_bwd(scale, res, dout):
-    qg, k, v, probs = res
+    qg, k, v, probs, out = res
     dv = jnp.einsum("bkrst,bskrd->btkd", probs, dout).astype(v.dtype)
     dp = jnp.einsum("bskrd,btkd->bkrst", dout, v)
-    p32 = probs.astype(jnp.float32)
-    dp32 = dp.astype(jnp.float32)
-    # softmax VJP; masked positions have p == 0 so their ds vanishes, and
-    # fully-masked rows give ds == 0 — matching the where/NEG_INF chain
-    ds = p32 * (dp32 - jnp.sum(p32 * dp32, axis=-1, keepdims=True))
+    # softmax-VJP rowsum via the flash-attention identity:
+    #   sum_t p_st * dp_st = sum_t p_st * (dout_s . v_t) = dout_s . out_s
+    # — a [*, S, D] row-dot off the stashed output instead of a second
+    # full fp32 pass over the [*, S, T] probs/dp tensors (profiled ~2 GB
+    # of HBM traffic at flagship shapes, benchmarks/mfu_floor.py).
+    delta = jnp.einsum(
+        "bskrd,bskrd->bskr",
+        dout.astype(jnp.float32), out.astype(jnp.float32),
+    )  # [B,S,Hkv,rep]
+    delta = jnp.transpose(delta, (0, 2, 3, 1))[..., None]  # [B,Hkv,rep,S,1]
+    # masked positions have p == 0 so their ds vanishes, and fully-masked
+    # rows give p == 0 AND out == 0 (hence delta == 0) — matching the
+    # where/NEG_INF chain of the forward
+    ds = probs.astype(jnp.float32) * (dp.astype(jnp.float32) - delta)
     ds = (ds * scale).astype(k.dtype)
     dqg = jnp.einsum("bkrst,btkd->bskrd", ds, k).astype(qg.dtype)
     dk = jnp.einsum("bkrst,bskrd->btkd", ds, qg).astype(k.dtype)
