@@ -49,6 +49,16 @@ def test_closed_loop_pipeline(tmp_path):
     assert 1 <= cmp["completion_lengths"]["min"]
     assert cmp["completion_lengths"]["max"] <= 12
 
+    # serve-route compare through the real cli/serve.py: auto probes the
+    # pool then (short answers) switches to static; texts must agree per
+    # key across static/pool/auto up to a few near-tie argmax flips (the
+    # routes pad to different shapes; see route_compare docstring)
+    from benchmarks.closed_loop import route_compare
+
+    rt = route_compare(str(tmp_path), req_repeats=1, timed_runs=0)
+    assert rt["n_requests"] == 96
+    assert rt["n_text_mismatch"] <= 4
+
 
 def test_closed_loop_ctc_warmstart(tmp_path):
     """The --ctc-warmstart path: CTC-pretrain the encoder (tasu_transfer
