@@ -110,7 +110,30 @@ class StaticBatchDecoder:
             batch["waveform_length"] = np.maximum(wlen, 1)
         return batch, n
 
+    @staticmethod
+    def _payload_kind(g) -> str:
+        if "input_features" in g:
+            return "input_features"
+        if "waveform" in g:
+            return "waveform"
+        return "text"
+
     def _decode_group(self, group) -> Iterator[Tuple[str, np.ndarray]]:
+        # _stack assumes one audio payload kind per batch (the features
+        # branch indexes every member); a mixed group is legal at the API
+        # level, so partition it by kind and decode each slice separately
+        kinds = {self._payload_kind(g) for _, g in group}
+        if len(kinds) > 1:
+            for kind in sorted(kinds):
+                sub = [
+                    item for item in group
+                    if self._payload_kind(item[1]) == kind
+                ]
+                yield from self._decode_group(sub)
+            return
+        yield from self._decode_uniform(group)
+
+    def _decode_uniform(self, group) -> Iterator[Tuple[str, np.ndarray]]:
         import jax.numpy as jnp
 
         from ps_slm_tpu.inference.generate import generate

@@ -248,12 +248,12 @@ def read_cluster_file(path: str) -> List:
             for token in line.rstrip("\n").split():
                 if (
                     token.startswith("</") and token.endswith(">")
-                    and token.lstrip("</").rstrip(">") == name
+                    and token[2:-1] == name
                 ):
                     clusters.append((name, toks))
                     name, toks = "", []
                 elif token.startswith("<") and token.endswith(">") and not name:
-                    name = token.lstrip("<").rstrip(">")
+                    name = token[1:-1]
                     toks = []
                 else:
                     toks.append(token)
@@ -431,8 +431,19 @@ def main(argv=None):
         elif a.startswith("--maxw="):
             max_words_per_line = int(a.split("=", 1)[1])
         elif a.startswith("--padding-symbol"):
-            # wenet accepts only the two named symbols (':376-378)
-            padding_symbol = "_" if a.split("=")[-1].lower() == "underline" else " "
+            # wenet accepts only the two named symbols (':376-378); anything
+            # else (or a bare flag) is a usage error, not a silent fallback
+            val = a.split("=", 1)[1].lower() if "=" in a else ""
+            if val == "underline":
+                padding_symbol = "_"
+            elif val == "space":
+                padding_symbol = " "
+            else:
+                print(
+                    "--padding-symbol must be 'space' or 'underline' "
+                    f"(got {val!r})"
+                )
+                return 2
         elif a.startswith("--cluster="):
             cluster_file = a.split("=", 1)[1]
         elif a.startswith("--rt"):

@@ -721,21 +721,31 @@ def import_peft_adapters(model, path_or_tensors, dtype=jnp.float32) -> list:
         )
         loaded.append("prompt_embeddings")
 
-    # llama_adapter: peft ADAPTION_PROMPT per-layer prompt+gate
-    if "adaption_prompt" in layers:
+    # llama_adapter: peft ADAPTION_PROMPT per-layer prompt+gate.  Only touch
+    # the leaves when the adapter file actually carries adaption keys —
+    # loading e.g. a LoRA-only adapter onto an adapter-equipped model must
+    # not coerce the untouched prompt/gate leaves' dtype as a side effect.
+    if "adaption_prompt" in layers and any(
+        ".adaption_prompt" in k or ".adaption_gate" in k for k in tensors
+    ):
         ap = np.asarray(layers["adaption_prompt"], np.float32).copy()
         ag = np.asarray(layers["adaption_gate"], np.float32).copy()
+        touched_p = touched_g = False
         for l in range(ap.shape[0]):
             pre = f"base_model.model.model.layers.{l}.self_attn"
             kp, kg = f"{pre}.adaption_prompt", f"{pre}.adaption_gate"
             if kp in tensors:
                 ap[l] = np.asarray(tensors[kp], np.float32).reshape(ap[l].shape)
                 loaded.append(kp)
+                touched_p = True
             if kg in tensors:
                 ag[l] = float(np.asarray(tensors[kg]).reshape(()))
                 loaded.append(kg)
-        layers["adaption_prompt"] = jnp.asarray(ap, dtype)
-        layers["adaption_gate"] = jnp.asarray(ag, dtype)
+                touched_g = True
+        if touched_p:
+            layers["adaption_prompt"] = jnp.asarray(ap, dtype)
+        if touched_g:
+            layers["adaption_gate"] = jnp.asarray(ag, dtype)
     return loaded
 
 

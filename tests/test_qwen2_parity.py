@@ -429,3 +429,30 @@ def test_llama_adapter_interchange_roundtrip(tmp_path):
         np.asarray(layers["adaption_prompt"][-1]),
     )
     assert float(model2.params["llm"]["layers"]["adaption_gate"][-1]) == float(L)
+
+
+def test_llama_adapter_noop_import_keeps_dtype(tmp_path):
+    """Importing an adapter file with NO adaption keys (e.g. LoRA-only) onto
+    an adapter-equipped model must not touch adaption_prompt/adaption_gate —
+    previously the branch re-cast them to the import dtype as a side effect."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from ps_slm_tpu.config import PeftConfig
+    from ps_slm_tpu.models.lora import add_llama_adapter
+    from ps_slm_tpu.training.checkpoint import import_peft_adapters
+
+    _, params, cfg = _build_pair(tie=False)
+    pc = PeftConfig(peft_method="llama_adapter", adapter_len=3, adapter_layers=1)
+    params = add_llama_adapter(params, pc, cfg, jax.random.PRNGKey(2))
+    layers = params["layers"]
+    before_p = np.asarray(layers["adaption_prompt"]).copy()
+    assert layers["adaption_prompt"].dtype == jnp.float32
+
+    model = SimpleNamespace(params={"llm": params})
+    loaded = import_peft_adapters(model, {}, dtype=jnp.bfloat16)
+    assert loaded == []
+    got = model.params["llm"]["layers"]["adaption_prompt"]
+    assert got.dtype == jnp.float32  # untouched, not coerced to bf16
+    np.testing.assert_array_equal(np.asarray(got), before_p)

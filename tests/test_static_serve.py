@@ -86,3 +86,29 @@ def test_stack_pads_left_ids_and_replicates_rows():
     np.testing.assert_array_equal(
         batch["input_feature_length"], [10, 20, 10, 20]
     )
+
+
+def test_mixed_payload_group_partitioned():
+    """A group mixing 'input_features' and 'waveform' payloads is split by
+    payload kind before stacking — _stack's features branch indexes every
+    member, so a mixed batch would KeyError otherwise."""
+    dec = _dec(batch_size=4)
+    seen = []
+
+    def fake_uniform(group):
+        kinds = {StaticBatchDecoder._payload_kind(g) for _, g in group}
+        assert len(kinds) == 1
+        seen.append((sorted(k for k, _ in group), kinds.pop()))
+        for k, _ in group:
+            yield k, np.asarray([1], np.int32)
+
+    dec._decode_uniform = fake_uniform
+    group = [
+        ("f1", {"input_features": np.ones((1, 4, 2), np.float32)}),
+        ("w1", {"waveform": np.ones((1, 16), np.float32)}),
+        ("f2", {"input_features": np.ones((1, 4, 2), np.float32)}),
+    ]
+    got = sorted(k for k, _ in dec._decode_group(group))
+    assert got == ["f1", "f2", "w1"]
+    assert (["f1", "f2"], "input_features") in seen
+    assert (["w1"], "waveform") in seen

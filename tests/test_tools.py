@@ -180,3 +180,28 @@ def test_wer_maxw_padding_and_cluster(tmp_path):
     rc = main([f"--cluster={cl}", "--maxw=2", "--padding-symbol=underline",
                "--char=0", "-v=1", str(ref), str(hyp)])
     assert rc == 0
+
+
+def test_wer_padding_symbol_rejects_unknown(tmp_path):
+    """--padding-symbol accepts only 'space'/'underline' — anything else
+    (incl. a bare flag) is rc=2, matching the wenet CLI contract
+    (wenet_compute_cer.py:376-378)."""
+    from ps_slm_tpu.tools.wer import main
+
+    ref = tmp_path / "ref"
+    hyp = tmp_path / "hyp"
+    ref.write_text("u1\tone two\n")
+    hyp.write_text("u1\tone two\n")
+    assert main(["--padding-symbol=underscore", str(ref), str(hyp)]) == 2
+    assert main(["--padding-symbol", str(ref), str(hyp)]) == 2
+    assert main(["--padding-symbol=space", str(ref), str(hyp)]) == 0
+
+
+def test_read_cluster_file_bracketed_names(tmp_path):
+    """Cluster names containing '<', '/', or '>' survive tag stripping:
+    exact prefix/suffix removal, not str.strip character sets."""
+    from ps_slm_tpu.tools.wer import read_cluster_file
+
+    cl = tmp_path / "clusters"
+    cl.write_text("<<x>> A B </<x>>\n")
+    assert read_cluster_file(str(cl)) == [("<x>", ["A", "B"])]
