@@ -24,11 +24,12 @@ each utterance finishes (docs/PERF.md serving numbers).
 
 Routing (``serve_route=auto|pool|static``, default auto): short-completion
 workloads are ~4x faster through static batching (docs/PERF.md
-pool-vs-static on the trained checkpoint), so "auto" probes the first
-``route_probe`` completions in the pool and switches to
-``inference/static_serve.py`` when their median length is under
-``route_static_below`` tokens.  ``stream_partials`` / ``speculative_ctc``
-always serve through the pool.
+pool-vs-static on the trained checkpoint), so "auto" serves in segments of
+``route_probe`` completions and re-chooses pool vs static after each from
+the sliding-window median of the last ``route_probe`` completion lengths
+(< ``route_static_below`` tokens -> static; see inference/routing.py — a
+workload drifting long flips back to the pool).  ``stream_partials`` /
+``speculative_ctc`` always serve through the pool.
 """
 
 from __future__ import annotations
@@ -236,50 +237,24 @@ def main(argv=None, *, stdin=None, stdout=None):
         )
 
     def routed(req_iter):
-        """serve_route dispatch.  "auto": the first route_probe completions
-        run in the pool (it serves a cold start with unknown lengths best);
-        if their median completion length is under route_static_below the
-        remaining stream moves to static batching — the measured 4x winner
-        on short-answer workloads (docs/PERF.md pool-vs-static)."""
+        """serve_route dispatch.  "auto" = inference/routing.py: cold-start
+        on the pool, then re-choose pool vs static every route_probe
+        completions from a sliding window of the last route_probe
+        completion lengths — a short->long workload drift flips back to
+        the pool instead of freezing on the first probe's verdict."""
         if route == "static":
             yield from make_static().run(req_iter)
             return
         if route == "pool":
             yield from make_pool().run(req_iter, on_partial=on_partial)
             return
-        it = iter(req_iter)
-        admitted = {"n": 0}
+        from ps_slm_tpu.inference.routing import route_serve
 
-        def probe():
-            while admitted["n"] < tc.route_probe:
-                try:
-                    item = next(it)
-                except StopIteration:
-                    return
-                if item is not None:
-                    admitted["n"] += 1
-                yield item
-
-        lens = []
-        pool = make_pool()
-        for key, toks in pool.run(probe(), on_partial=on_partial):
-            lens.append(len(toks))
-            yield key, toks
-        if admitted["n"] < tc.route_probe:
-            return  # source exhausted during the probe
-        median = sorted(lens)[len(lens) // 2] if lens else 0
-        if median < tc.route_static_below:
-            logger.info(
-                f"serve_route=auto: median completion {median} tok < "
-                f"{tc.route_static_below} — routing to static batching"
-            )
-            yield from make_static().run(it)
-        else:
-            logger.info(
-                f"serve_route=auto: median completion {median} tok — "
-                "staying on the slot pool"
-            )
-            yield from pool.run(it, on_partial=on_partial)
+        yield from route_serve(
+            req_iter, make_pool, make_static,
+            probe=tc.route_probe, static_below=tc.route_static_below,
+            on_partial=on_partial, log=logger.info,
+        )
 
     n = 0
     for key, toks in routed(requests()):
