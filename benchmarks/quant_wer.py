@@ -34,6 +34,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 QUANT_CONFIGS = {
     "fp32": [],
     "bf16": ["++train_config.mixed_precision=true"],
@@ -116,14 +118,7 @@ def closed_loop_rows(workdir: str) -> dict:
         enc_vocab=loop_cfg["enc_vocab"],
         do_psd=loop_cfg.get("do_psd", False),
     )
-    rows = {}
-    for cfg_name, extra in QUANT_CONFIGS.items():
-        rows[cfg_name] = _decode_and_score(
-            base, workdir, "closed_loop", cfg_name, extra
-        )
-        print(json.dumps({"ckpt": "closed_loop", "config": cfg_name,
-                          **rows[cfg_name]}), flush=True)
-    return rows
+    return _all_configs(base, workdir, "closed_loop")
 
 
 def transfer_rows(workdir: str) -> dict:
@@ -142,12 +137,19 @@ def transfer_rows(workdir: str) -> dict:
         "++train_config.do_psd=true",
         f"ckpt_path={ckpt}",
     ]
+    return _all_configs(base, workdir, "transfer")
+
+
+def _all_configs(base, workdir, name) -> dict:
     rows = {}
     for cfg_name, extra in QUANT_CONFIGS.items():
-        rows[cfg_name] = _decode_and_score(
-            base, workdir, "transfer", cfg_name, extra
-        )
-        print(json.dumps({"ckpt": "transfer", "config": cfg_name,
+        try:
+            rows[cfg_name] = _decode_and_score(
+                base, workdir, name, cfg_name, extra
+            )
+        except Exception as e:  # noqa: BLE001 — one config must not kill the sweep
+            rows[cfg_name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps({"ckpt": name, "config": cfg_name,
                           **rows[cfg_name]}), flush=True)
     return rows
 
@@ -178,9 +180,12 @@ def main(argv=None):
     if os.path.isdir(os.path.join(transfer_workdir, "enc_bpe")):
         result["ckpts"]["transfer"] = transfer_rows(transfer_workdir)
     for rows in result["ckpts"].values():
-        base = rows["fp32"]["wer"]
+        base = rows.get("fp32", {}).get("wer")
+        if base is None:
+            continue
         for cfg_name, row in rows.items():
-            row["wer_delta_vs_fp32"] = round(row["wer"] - base, 3)
+            if "wer" in row:
+                row["wer_delta_vs_fp32"] = round(row["wer"] - base, 3)
     print(json.dumps(result), flush=True)
     if out_path:
         with open(out_path, "w") as f:

@@ -1,0 +1,206 @@
+"""Speculative decoding with REAL CTC drafts on the trained TASU-transfer
+checkpoint.
+
+docs/PERF.md's speculative section measured an oracle-draft corruption
+sweep (1.99x at p=0 down to 1.13x at p=0.5) on random-init weights; this
+benchmark pins the real-world point on that curve: real audio -> the
+trained encoder's real CTC posterior -> collapsed transcript re-tokenized
+into the LLM vocab (``cli/decode.py::_ctc_draft_kwargs`` plumbing) ->
+draft-verified greedy decode (``inference/speculative.py``), vs plain
+greedy on the same batches.
+
+Reported per spec window: measured draft acceptance (tokens emitted per
+LLM forward, and the fraction of offered draft lanes accepted), wall-clock
+speedup vs greedy, and the output-identity check (speculative decode is
+bit-identical to greedy by construction — any mismatch is a bug, not a
+quality tradeoff).
+
+Usage:
+    python benchmarks/spec_real.py --workdir=/tmp/ps_transfer_tpu \
+        --out=benchmarks/spec_real_tpu.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _build(workdir):
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.tasu_transfer import _mc_args
+    from ps_slm_tpu.config import RunConfig, parse_cli
+    from ps_slm_tpu.data.spm import SenseVoiceTokenizer
+    from ps_slm_tpu.data.tokenizer import load_tokenizer
+    from ps_slm_tpu.registry import get_dataset_factory, get_model_factory
+    from ps_slm_tpu.training import checkpoint as ckpt_lib
+
+    llm_path = os.path.join(workdir, "tiny_llm")
+    bpe_dir = os.path.join(workdir, "enc_bpe")
+    enc_tok = SenseVoiceTokenizer(bpe_dir)
+    ckpt = os.path.join(workdir, "transfer_model.bin")
+    cfg = parse_cli(_mc_args(workdir, llm_path, enc_tok.vocab_size, bpe_dir) + [
+        "++train_config.ctc_posterior=true",
+        "++train_config.gt_emb=false",
+        "++train_config.do_psd=true",
+        "++train_config.num_beams=1",
+    ], RunConfig())
+    tc, mc, dc = cfg.train_config, cfg.model_config, cfg.dataset_config
+    dc.inference_mode = True
+    tokenizer = load_tokenizer(mc.llm_path or None)
+    model = get_model_factory(mc.factory)(
+        tc, mc, rng=jax.random.PRNGKey(0), dtype=jnp.float32
+    )
+    model.speech_token_id = tokenizer.speech_token_id
+    model.pad_token_id = tokenizer.pad_token_id
+    model.fbank_cfg = dc.fbank
+    ckpt_lib.import_reference_checkpoint(model, ckpt, jnp.float32)
+
+    batches = list(get_dataset_factory(dc.factory)(
+        dc, tokenizer, "test", encoder_tokenizer=enc_tok,
+    ))
+    return model, tc, tokenizer, enc_tok, batches
+
+
+def run(workdir: str, *, windows=(4, 8), max_new=12, timed_runs=3) -> dict:
+    import jax.numpy as jnp
+
+    from ps_slm_tpu.cli.decode import _ctc_draft_kwargs
+    from ps_slm_tpu.inference.generate import (
+        _merged_fn, greedy_generate,
+    )
+    from ps_slm_tpu.inference.speculative import speculative_greedy_generate
+
+    model, tc, tokenizer, enc_tok, batches = _build(workdir)
+    eos = tokenizer.eos_token_id
+    params = model.params
+
+    # precompute device batches + real CTC drafts (draft prep is shared by
+    # both modes in cli/decode.py, so it is excluded from the timed region)
+    prepped = []
+    for batch in batches:
+        jb = {
+            k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, np.ndarray)
+        }
+        sk = _ctc_draft_kwargs(model, jb, enc_tok, tokenizer, max(windows))
+        merged = _merged_fn(model)(params, jb)
+        prepped.append((batch, merged, sk))
+
+    draft_tok_count = sum(
+        int(np.asarray(sk["draft_lens"]).sum()) for _, _, sk in prepped
+    )
+
+    def run_greedy():
+        outs = []
+        for _, merged, _ in prepped:
+            out = greedy_generate(
+                params["llm"], model.llm_cfg,
+                merged.embeds, merged.attention_mask, merged.position_ids,
+                None, max_new_tokens=max_new, eos_token_id=eos,
+            )
+            outs.append(np.asarray(out))
+        return outs
+
+    def run_spec(window):
+        outs, fwds = [], 0
+        for _, merged, sk in prepped:
+            out, n_fwd = speculative_greedy_generate(
+                params["llm"], model.llm_cfg,
+                merged.embeds, merged.attention_mask, merged.position_ids,
+                sk["draft_ids"], sk["draft_lens"],
+                max_new_tokens=max_new, eos_token_id=eos, window=window,
+            )
+            outs.append(np.asarray(out))
+            fwds += int(np.asarray(n_fwd))
+        return outs, fwds
+
+    def tokens_of(outs):
+        return sum(int((o != eos).sum()) for o in outs)
+
+    def timeit(fn):
+        best = float("inf")
+        for _ in range(timed_runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    g_outs = run_greedy()  # warmup + reference output
+    g_tokens = tokens_of(g_outs)
+    t_greedy = timeit(run_greedy)
+
+    result = {
+        "metric": "spec_real_ctc_draft",
+        "ckpt": os.path.join(workdir, "transfer_model.bin"),
+        "n_utts": sum(len(b["keys"]) for b, _, _ in prepped),
+        "new_tokens_greedy": g_tokens,
+        "draft_tokens_offered": draft_tok_count,
+        "greedy_s": round(t_greedy, 3),
+        "greedy_tokens_per_sec": round(g_tokens / t_greedy, 1),
+        "windows": {},
+    }
+
+    for w in windows:
+        s_outs, n_fwd = run_spec(w)  # warmup + identity check
+        mismatch = sum(
+            (not np.array_equal(a, b)) for a, b in zip(g_outs, s_outs)
+        )
+        s_tokens = tokens_of(s_outs)
+        t_spec = timeit(lambda: run_spec(w))
+        tpf = s_tokens / max(n_fwd, 1)
+        result["windows"][str(w)] = {
+            "llm_forwards": n_fwd,
+            # greedy runs one forward per emitted token
+            "forward_reduction": round(g_tokens / max(n_fwd, 1), 3),
+            "tokens_per_forward": round(tpf, 3),
+            # of the w-1 draft lanes offered per forward, how many were
+            # accepted on average
+            "lane_acceptance": round((tpf - 1) / (w - 1), 3),
+            "spec_s": round(t_spec, 3),
+            "tokens_per_sec": round(s_tokens / t_spec, 1),
+            "speedup_vs_greedy": round(t_greedy / t_spec, 3),
+            "output_identical": mismatch == 0,
+            "n_batch_mismatch": mismatch,
+        }
+        print(json.dumps({"window": w, **result["windows"][str(w)]}),
+              flush=True)
+    return result
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    workdir = "/tmp/ps_transfer_tpu"
+    out_path = None
+    timed_runs = 3
+    for a in argv:
+        if a.startswith("--workdir="):
+            workdir = a.split("=", 1)[1]
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+        elif a.startswith("--timed-runs="):
+            timed_runs = int(a.split("=", 1)[1])
+    if "--platform" in argv and "cpu" in argv:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    result = run(workdir, timed_runs=timed_runs)
+    print(json.dumps(result), flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

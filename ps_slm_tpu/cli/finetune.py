@@ -145,8 +145,18 @@ def main(argv=None):
     def checkpoint_fn(state, tag):
         path = os.path.join(tc.output_dir, tag)
         ckpt.save_train_state(os.path.join(path, "state"), state)
+        if jax.process_count() > 1:
+            # params are cross-process sharded; the reference-format export
+            # needs host-local arrays (the rank-0 zero->fp32 consolidation
+            # analogue, checkpoint_handler.py:169-182).  allgather is a
+            # collective: EVERY process participates, host 0 writes.
+            from jax.experimental import multihost_utils
+
+            host_params = multihost_utils.process_allgather(state.params)
+        else:
+            host_params = state.params
         if host_id == 0:
-            model.params = state.params
+            model.params = host_params
             exclude = []
             if tc.freeze_llm and not tc.use_peft:
                 exclude.append("llm")

@@ -161,6 +161,10 @@ class TrainConfig:
     quant_bits: int = 8
     q4_group_size: int = 128              # contraction-group size for int4 scales
     save_model: bool = True
+    # unconditional end-of-training checkpoint ("last/"): the reference only
+    # saves on validation improvement (deepspeed_utils.py:256-260), which
+    # can leave a long run with no final artifact; save_last guarantees one
+    save_last: bool = False
     resume_from: Optional[str] = None
     device: Optional[int] = 0
     # --- parallelism (TPU-native; replaces ds_config.json ZeRO-2 semantics) ---

@@ -71,6 +71,16 @@ def _group_size(in_features: int, group_size: int) -> int:
     return in_features
 
 
+def _q4_container_dtype():
+    """Storage dtype for the 4-bit codes.  The axon TPU relay backend
+    cannot move s4 arrays across jit boundaries (device_put recursion in
+    dispatch), so there the ±7 codes live in an int8 container — bit-
+    identical numerics, the s4 HBM saving deferred to real pods."""
+    import jax
+
+    return jnp.int8 if jax.default_backend() == "axon" else jnp.int4
+
+
 def quantize_kernel4(
     kernel: jnp.ndarray, group_size: int = 128
 ) -> Dict[str, jnp.ndarray]:
@@ -83,7 +93,7 @@ def quantize_kernel4(
     wg = w.reshape(*lead, i // gs, gs, o)
     amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int4)
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(_q4_container_dtype())
     return {"q4": q.reshape(*lead, i, o), "scale4": scale.squeeze(-2)}
 
 

@@ -289,4 +289,8 @@ def train(
             )
             history["train_loss"].append(epoch_loss / denom)
 
+    if getattr(train_config, "save_last", False) and checkpoint_fn is not None:
+        checkpoint_fn(state, "last")
+        log("final checkpoint saved (last/)")
+
     return state, history

@@ -80,3 +80,101 @@ def test_distributed_pipeline_matches_single_process():
     for other in multi[1:]:
         np.testing.assert_allclose(multi[0], other, rtol=0, atol=0)
     np.testing.assert_allclose(multi[0], single, atol=1e-5)
+
+
+CLI_RUNNER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_cli_runner.py")
+
+
+def _build_cli_fixtures(workdir):
+    import json
+
+    from ps_slm_tpu.data import audio_io
+
+    rng = np.random.default_rng(0)
+    rate = 16000
+    entries = {}
+    for i in range(16):
+        dur = int(rng.integers(rate // 2, rate))
+        entries[f"utt{i}"] = (
+            rate, rng.normal(size=dur).astype(np.float32) * 0.1
+        )
+    ark = os.path.join(workdir, "wav.ark")
+    offsets = audio_io.write_kaldi_wav_ark(ark, entries)
+    for split in ("train", "dev", "test"):
+        d = os.path.join(workdir, split)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "multitask.jsonl"), "w") as f:
+            for i in range(16):
+                f.write(json.dumps({
+                    "key": f"utt{i}",
+                    "path": f"{ark}:{offsets[f'utt{i}']}",
+                    "target": f"word{i} hello",
+                    "GT": f"word{i} hello",
+                    "task": "ASR",
+                }) + "\n")
+    with open(os.path.join(workdir, "multiprompt.jsonl"), "w") as f:
+        f.write(json.dumps({"task": "ASR", "prompt": "transcribe:"}) + "\n")
+
+
+def _run_cli(workdir, out_name, n_procs, epochs, resume_from=None):
+    port = _free_port()
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    extra = [f"--resume-from={resume_from}"] if resume_from else []
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CLI_RUNNER,
+             f"--process-id={i}", f"--num-processes={n_procs}",
+             f"--coordinator=localhost:{port}",
+             f"--workdir={workdir}", f"--out-name={out_name}",
+             f"--epochs={epochs}"] + extra,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True,
+        )
+        for i in range(n_procs)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=560)
+        assert p.returncode == 0, f"rc={p.returncode}\n{out[-2000:]}\n{err[-4000:]}"
+    return os.path.join(workdir, out_name, "last")
+
+
+def _load_export(last_dir):
+    import torch
+
+    sd = torch.load(
+        os.path.join(last_dir, "pytorch_model.bin"),
+        map_location="cpu", weights_only=False,
+    )
+    return {k: np.asarray(v) for k, v in sd.items()}
+
+
+def test_cli_finetune_two_process_matches_single_and_resumes(tmp_path):
+    """The full launcher under 2-process jax.distributed: per-process
+    GlobalBatcher shards feed the sharded step; Orbax saves the
+    cross-process state (save_last); host 0 exports the reference-format
+    checkpoint from allgathered shards.  The 2-process export must be
+    bit-equal to the single-process run, and a cross-process resume from
+    the 1-epoch checkpoint must continue bit-equal to the straight
+    2-epoch run (the last wiring between "step works multi-host" and
+    "the launcher works multi-host")."""
+    w = str(tmp_path)
+    _build_cli_fixtures(w)
+
+    straight2 = _load_export(_run_cli(w, "out_straight", 2, epochs=2))
+    single = _load_export(_run_cli(w, "out_single", 1, epochs=2))
+    assert set(straight2) == set(single)
+    for k in straight2:
+        np.testing.assert_array_equal(straight2[k], single[k], err_msg=k)
+
+    first = _run_cli(w, "out_first", 2, epochs=1)
+    resumed = _load_export(_run_cli(
+        w, "out_resumed", 2, epochs=2,
+        resume_from=os.path.join(first, "state"),
+    ))
+    assert set(resumed) == set(straight2)
+    for k in straight2:
+        np.testing.assert_array_equal(resumed[k], straight2[k], err_msg=k)
