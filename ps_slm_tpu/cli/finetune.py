@@ -152,7 +152,9 @@ def main(argv=None):
             # collective: EVERY process participates, host 0 writes.
             from jax.experimental import multihost_utils
 
-            host_params = multihost_utils.process_allgather(state.params)
+            host_params = multihost_utils.process_allgather(
+                state.params, tiled=True
+            )
         else:
             host_params = state.params
         if host_id == 0:

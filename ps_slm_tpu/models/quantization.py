@@ -32,6 +32,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import jax.numpy as jnp
+import numpy as np
 
 Params = Dict[str, Any]
 
@@ -71,14 +72,26 @@ def _group_size(in_features: int, group_size: int) -> int:
     return in_features
 
 
-def _q4_container_dtype():
-    """Storage dtype for the 4-bit codes.  The axon TPU relay backend
-    cannot move s4 arrays across jit boundaries (device_put recursion in
-    dispatch), so there the ±7 codes live in an int8 container — bit-
-    identical numerics, the s4 HBM saving deferred to real pods."""
-    import jax
+_S4_SUPPORTED = None
 
-    return jnp.int8 if jax.default_backend() == "axon" else jnp.int4
+
+def _q4_container_dtype():
+    """Storage dtype for the 4-bit codes.  Feature-probed once: the axon
+    TPU relay backend (which still reports platform "tpu") cannot move s4
+    arrays across jit boundaries (device_put recursion in dispatch); there
+    the ±7 codes live in an int8 container — bit-identical numerics, the
+    s4 HBM saving deferred to real pods."""
+    global _S4_SUPPORTED
+    if _S4_SUPPORTED is None:
+        import jax
+
+        try:
+            x = jax.jit(lambda: jnp.zeros((8, 8), jnp.int4))()
+            np.asarray(jax.jit(lambda a: a.astype(jnp.int8))(x))
+            _S4_SUPPORTED = True
+        except Exception:  # noqa: BLE001 — any failure means "don't use s4"
+            _S4_SUPPORTED = False
+    return jnp.int4 if _S4_SUPPORTED else jnp.int8
 
 
 def quantize_kernel4(
