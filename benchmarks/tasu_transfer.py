@@ -112,7 +112,7 @@ def _load_split(workdir: str, split: str):
 
 def train_encoder(
     workdir: str, enc_cfg, enc_tok, *, epochs=15, lr=2e-3, batch=16,
-    seed=0, log=print, stop_at_ter=None,
+    seed=0, log=print, stop_at_ter=None, confuse_words=0,
 ):
     """CTC-train a SenseVoice encoder from scratch on the synthetic corpus.
 
@@ -121,11 +121,23 @@ def train_encoder(
     the production on-device front end (ops/fbank.frontend, no dither).
     Returns (trained encoder params, dev greedy token error rate).
 
+    Two knobs make the encoder deliberately IMPERFECT — the regime the
+    reference's CPS noise model was designed for (ps-slm.py:360-409):
+
     ``stop_at_ter``: early-stop once the dev token error rate drops to or
-    below this value — leaves the encoder deliberately IMPERFECT, the
-    regime the reference's CPS noise model was designed for
-    (ps-slm.py:360-409): real CTC posteriors with genuine ambiguity rather
-    than near-one-hot spikes (VERDICT r4 weak #6)."""
+    below this value.  Measured caveat: an UNDERtrained encoder errs by
+    being *soft* (entropy ~1.2, blank prob rarely crossing PSD's 0.9 drop
+    threshold), which is a different failure mode from a converged real
+    encoder's confident-but-wrong posteriors, and it breaks PSD framing
+    outright (80.5% transfer WER at dev TER 0.027 in the round-5 probe).
+
+    ``confuse_words``: train to convergence but on labels passed through a
+    fixed k-word confusion map (word w -> word w', applied to every train
+    utterance; dev/test stay clean).  The converged encoder then emits w'
+    for w CONFIDENTLY — peaked posteriors with systematic substitution
+    errors, the shape of real acoustic confusions — and dev TER lands near
+    the corrupted-token fraction (~k/n_words), tunable into the 5-15%
+    band VERDICT r4 weak #6 asks for."""
     import functools
 
     import jax
@@ -141,6 +153,19 @@ def train_encoder(
     rows = _load_split(workdir, "train")
     dev = _load_split(workdir, "dev")
     rng = np.random.default_rng(seed)
+
+    if confuse_words:
+        vocab = sorted({w for _, _, t in rows for w in t.split()})
+        picked = list(rng.choice(len(vocab), size=confuse_words,
+                                 replace=False))
+        # rotate the picked set by one: a derangement on those k words
+        conf = {vocab[picked[i]]: vocab[picked[(i + 1) % len(picked)]]
+                for i in range(len(picked))}
+        rows = [
+            (k, wav, " ".join(conf.get(w, w) for w in t.split()))
+            for k, wav, t in rows
+        ]
+        log(f"stage A label confusion map ({confuse_words} words): {conf}")
 
     def featurize(split_rows):
         """Host-padded features + encoder-vocab targets for a row group.
@@ -323,7 +348,8 @@ def _mc_args(workdir, llm_path, enc_vocab, bpe_dir):
 
 def run(workdir: str, *, n_words=64, noise_std=0.02, rate_var=0.2,
         n_train=1024, enc_epochs=15, text_epochs=40, lr=2e-3,
-        frame_budget=2000, seed=0, log=print, stop_at_ter=None) -> dict:
+        frame_budget=2000, seed=0, log=print, stop_at_ter=None,
+        confuse_words=0) -> dict:
     import torch
 
     from ps_slm_tpu.cli.decode import main as decode_main
@@ -352,7 +378,7 @@ def run(workdir: str, *, n_words=64, noise_std=0.02, rate_var=0.2,
     # --- stage A: CTC encoder ---
     enc_params, ter = train_encoder(
         workdir, enc_cfg, enc_tok, epochs=enc_epochs, lr=lr, seed=seed,
-        log=log, stop_at_ter=stop_at_ter,
+        log=log, stop_at_ter=stop_at_ter, confuse_words=confuse_words,
     )
     enc_bin = export_encoder_bin(workdir, enc_params, enc_cfg, mc_args)
 
@@ -426,6 +452,7 @@ def run(workdir: str, *, n_words=64, noise_std=0.02, rate_var=0.2,
         "posterior": post,
         "ckpt": merged,
         "n_words": n_words, "noise_std": noise_std, "rate_var": rate_var,
+        "confuse_words": confuse_words,
     }
 
 
@@ -502,6 +529,11 @@ def main(argv=None):
             # de-flattered canary (VERDICT r4 weak #6): leave the encoder
             # imperfect so the sim-vs-real posterior gap is reference-like
             kw["stop_at_ter"] = float(a.split("=", 1)[1])
+        elif a.startswith("--confuse-words="):
+            # confident-but-wrong variant of the same knob (see
+            # train_encoder docstring for why undertraining is the wrong
+            # kind of imperfection)
+            kw["confuse_words"] = int(a.split("=", 1)[1])
     if "--platform" in argv and "cpu" in argv:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax

@@ -1,6 +1,10 @@
 """Sliding-window serve routing (inference/routing.py): segment admission,
-re-probe from the last-N completion window, and route flips in BOTH
-directions when the workload's completion-length profile drifts."""
+re-probe from the last-N completion window, route flips in BOTH directions
+when the workload's completion-length profile drifts, and the measured
+throughput override (round 5: the length prior picked static on a tiny
+relay-fronted model where the pool measured 5x faster wall-clock)."""
+
+import time
 
 import numpy as np
 
@@ -74,6 +78,58 @@ def test_window_is_sliding_not_cumulative():
     routes = [r for r, _ in served]
     assert routes[:12] == ["pool"] * 12
     assert routes[12:] == ["static"] * 4
+
+
+class _TimedDecoder(_FakeDecoder):
+    """Fake decoder with a controlled per-request service time, so the
+    router's measured-rate override sees real (deterministically ordered)
+    throughput differences."""
+
+    def __init__(self, name, served, per_req_s):
+        super().__init__(name, served)
+        self.per_req_s = per_req_s
+
+    def run(self, batches, on_partial=None):
+        for item in batches:
+            if item is None:
+                continue
+            time.sleep(self.per_req_s)
+            key, length = item
+            self.served.append((self.name, key))
+            yield key, np.zeros(length, np.int32)
+
+
+def _drive_timed(lengths, pool_s, static_s, probe=4, static_below=16):
+    served, logs = [], []
+    reqs = [(f"r{i}", ln) for i, ln in enumerate(lengths)]
+    out = list(route_serve(
+        iter(reqs),
+        lambda: _TimedDecoder("pool", served, pool_s),
+        lambda: _TimedDecoder("static", served, static_s),
+        probe=probe, static_below=static_below, log=logs.append,
+    ))
+    assert [k for k, _ in out] == [k for k, _ in reqs]
+    return [r for r, _ in served], logs
+
+
+def test_measured_override_beats_short_prior():
+    """Short completions say static, but the pool measures 2.7x faster
+    (the round-5 tiny-model TPU regime): after one exploration segment on
+    static the router must settle on the pool."""
+    routes, logs = _drive_timed([4] * 24, pool_s=0.015, static_s=0.040)
+    assert routes[:4] == ["pool"] * 4       # cold start (measured)
+    assert routes[4:8] == ["static"] * 4    # prior exploration
+    assert routes[8:] == ["pool"] * 16      # measured verdict
+    assert any("measured" in m and "slot pool" in m for m in logs)
+
+
+def test_measured_confirms_static_prior():
+    """When static really is faster on short answers (the 1.5B steady
+    state), the measured verdict agrees with the prior and the route
+    stays put after the same exploration step."""
+    routes, _ = _drive_timed([4] * 24, pool_s=0.040, static_s=0.015)
+    assert routes[:4] == ["pool"] * 4
+    assert routes[4:] == ["static"] * 20
 
 
 def test_none_passthrough_and_decoder_reuse():
