@@ -22,13 +22,16 @@ greedy/speculative pools only).
 The pool keeps the device busy across requests; results stream as soon as
 each utterance finishes (docs/PERF.md serving numbers).
 
-Routing (``serve_route=auto|pool|static``, default auto): short-completion
-workloads are ~4x faster through static batching (docs/PERF.md
-pool-vs-static on the trained checkpoint), so "auto" serves in segments of
-``route_probe`` completions and re-chooses pool vs static after each from
-the sliding-window median of the last ``route_probe`` completion lengths
-(< ``route_static_below`` tokens -> static; see inference/routing.py — a
-workload drifting long flips back to the pool).  ``stream_partials`` /
+Routing (``serve_route=auto|pool|static``, default auto): "auto" serves in
+segments of ``route_probe`` completions and re-chooses pool vs static
+after each.  Measured per-segment throughput decides once both decoders
+have been tried in the current length regime; until then the
+sliding-window completion-length median is the prior (< ``route_static_below``
+tokens -> static, its ~4x short-answer win on the 1.5B model — but the
+measurement overrides the prior where it is wrong, e.g. compile-bound
+static on small models; docs/PERF.md serve-routing table,
+inference/routing.py).  A workload drifting across the length threshold
+invalidates old measurements and re-explores.  ``stream_partials`` /
 ``speculative_ctc`` always serve through the pool.
 """
 
@@ -238,10 +241,10 @@ def main(argv=None, *, stdin=None, stdout=None):
 
     def routed(req_iter):
         """serve_route dispatch.  "auto" = inference/routing.py: cold-start
-        on the pool, then re-choose pool vs static every route_probe
-        completions from a sliding window of the last route_probe
-        completion lengths — a short->long workload drift flips back to
-        the pool instead of freezing on the first probe's verdict."""
+        on the pool, re-choose every route_probe completions — measured
+        same-regime segment throughput when both decoders have one, else
+        the sliding-window length prior (drift re-explores; see the module
+        docstring)."""
         if route == "static":
             yield from make_static().run(req_iter)
             return

@@ -434,11 +434,17 @@ class GlobalBatcher:
     """Deterministic global batching across hosts.
 
     Every host walks the identical manifest order and computes identical
-    global buckets; host h keeps rows [h::num_hosts] of each bucket, padded
-    to equal per-host size with loss-masked repeats (``batch_valid``).
-    All hosts therefore see the same number of steps — the reference's
-    uneven-shard join barrier (deepspeed_utils.py:102-123) is unnecessary
-    by construction.
+    global buckets; the bucket is padded GLOBALLY (loss-masked repeats of
+    row 0, ``batch_valid``) to ``num_hosts * batch_multiple`` rows and host
+    h keeps the h-th CONTIGUOUS block.  Contiguous (not strided) slicing
+    matters: ``shard_batch``'s ``make_array_from_process_local_data``
+    assembles the global array in device order (process p's chunk fills
+    the global rows its devices own), so block slicing reproduces the
+    single-process global batch EXACTLY — same rows, same order, same pad
+    positions — keeping multi-process training on the single-process
+    trajectory (tests/test_multihost.py).  All hosts also see the same
+    number of steps — the reference's uneven-shard join barrier
+    (deepspeed_utils.py:102-123) is unnecessary by construction.
     """
 
     def __init__(
@@ -475,13 +481,15 @@ class GlobalBatcher:
                 skipped += 1
                 yield {"batch_skipped": True}
                 continue
-            mine = bucket[self.host_id:: self.num_hosts]
             per_host = -(-len(bucket) // self.num_hosts)
             per_host = -(-per_host // self.batch_multiple) * self.batch_multiple
-            valid = np.zeros((per_host,), bool)
-            valid[: len(mine)] = True
-            while len(mine) < per_host:
-                mine = mine + [bucket[0]]
+            total = per_host * self.num_hosts
+            global_rows = bucket + [bucket[0]] * (total - len(bucket))
+            global_valid = np.zeros((total,), bool)
+            global_valid[: len(bucket)] = True
+            lo = self.host_id * per_host
+            mine = global_rows[lo: lo + per_host]
+            valid = global_valid[lo: lo + per_host]
             # pad shapes/keys from the FULL global bucket, not this host's
             # slice — hosts' slices can bucket to different lengths, which
             # would compile different programs per process (see shape_hints)

@@ -8,6 +8,7 @@ same interface for tests and smoke runs.
 
 from __future__ import annotations
 
+import zlib
 from typing import List, Optional
 
 DEFAULT_SPEECH_TOKEN = "<speech>"
@@ -98,7 +99,13 @@ class OwnBPETokenizer:
 
 
 class StubTokenizer:
-    """Whitespace tokenizer over a fixed-size hashed vocab (tests only)."""
+    """Whitespace tokenizer over a fixed-size hashed vocab (tests only).
+
+    Hashing must be stable across processes: Python's ``hash()`` is
+    salted per interpreter (PYTHONHASHSEED), which would hand every
+    ``jax.distributed`` process a DIFFERENT word->id map and break the
+    multi-process == single-process training equality
+    (tests/test_multihost.py) — hence crc32."""
 
     def __init__(self, vocab_size: int = 256):
         self._vocab = vocab_size
@@ -119,7 +126,7 @@ class StubTokenizer:
             if word == "\x00":
                 out.append(self.speech_token_id)
             else:
-                i = (hash(word) % (self._vocab - 3)) + 1
+                i = (zlib.crc32(word.encode("utf-8")) % (self._vocab - 3)) + 1
                 self._decode_memory[i] = word
                 out.append(i)
         return out

@@ -310,14 +310,27 @@ def prepare_merged(
     audio_embeds, audio_lens = compute_audio_embeds(
         model, params, batch, rng, generate_mode=generate_mode, train=train
     )
-    inputs_embeds = qwen2.embed(params["llm"], batch["input_ids"])
+    llm_params = params["llm"]
     if model.mesh is not None:
-        # constrain the merge *inputs* to batch-sharded / feature-replicated:
-        # with a TP-sharded embedding table the lookup output arrives
-        # feature-sharded over 'tensor', and letting the scatter run in that
-        # layout forces GSPMD into involuntary full rematerialization when
-        # resharding its result; resharding the small [B,S,E]/[B,A,E] inputs
-        # first keeps the scatter batch-local
+        # FSDP allgather-at-use for the embedding table: its fsdp shard
+        # rides the FEATURE dim (vocab holds 'tensor'), and a gather from a
+        # feature-sharded table emits feature-sharded embeddings that GSPMD
+        # can only reshard to batch-sharded via involuntary full
+        # rematerialization on data>1 meshes (spmd_partitioner.cc warning,
+        # tests/test_parallel.py::test_no_involuntary_remat_on_tp_mesh).
+        # Pinning the table to P('tensor', None) makes the fsdp allgather
+        # explicit BEFORE the lookup — the vocab-sharded gather itself is
+        # the pattern GSPMD partitions well (masked gather + psum).
+        llm_params = {
+            **llm_params,
+            "embed_tokens": _fsdp_gathered_table(
+                llm_params["embed_tokens"], model.mesh
+            ),
+        }
+    inputs_embeds = qwen2.embed(llm_params, batch["input_ids"])
+    if model.mesh is not None:
+        # constrain the merge *inputs* to batch-sharded / feature-replicated
+        # so the scatter runs batch-local
         audio_embeds = _batch_sharded(audio_embeds, model.mesh)
         inputs_embeds = _batch_sharded(inputs_embeds, model.mesh)
     merged = merge_audio_text(
@@ -348,6 +361,15 @@ def _batch_sharded(x: jnp.ndarray, mesh) -> jnp.ndarray:
     spec = [None] * x.ndim
     spec[0] = ("data", "fsdp")
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+def _fsdp_gathered_table(table: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Embed table at use: vocab dim keeps 'tensor', feature dim gathered."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        table, NamedSharding(mesh, P("tensor", None))
+    )
 
 
 def forward(

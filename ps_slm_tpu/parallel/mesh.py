@@ -125,6 +125,13 @@ def _param_spec(
             spec[tp[0]] = tp[1]
     if fsdp_size <= 1 or int(np.prod(shape)) < min_size:
         return P(*spec)
+    if "fsmn" in {str(k) for k in path_keys}:
+        # depthwise-conv kernels: fsdp would land on the channel dim (the
+        # only one divisible), and a channel-sharded depthwise conv drags
+        # the batch-sharded activations into a channel-sharded layout that
+        # GSPMD can only reach via involuntary full rematerialization on
+        # data>1 meshes.  The kernels are tiny (k x 1 x size); replicate.
+        return P(*spec)
     stacked = any(str(k) == "layers" for k in path_keys)
     start = 1 if (stacked and len(shape) > 1) else 0
     best, best_size = None, 0

@@ -105,12 +105,12 @@ def main():
             # data-axis group, not its raw process id)
             local = gbatch
         else:
-            # host shard: the GlobalBatcher slice semantics (rows
-            # h::num_hosts)
-            local = {
-                k: v[args.process_id:: args.num_processes]
-                for k, v in gbatch.items()
-            }
+            # host shard: the GlobalBatcher slice semantics (host h keeps
+            # the h-th contiguous block, matching device order so the
+            # assembled global array equals the single-process batch)
+            per = next(iter(gbatch.values())).shape[0] // args.num_processes
+            lo = args.process_id * per
+            local = {k: v[lo: lo + per] for k, v in gbatch.items()}
         dev = meshlib.shard_batch(
             {k: jnp.asarray(v) for k, v in local.items()}, mesh
         )

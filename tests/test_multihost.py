@@ -156,11 +156,19 @@ def test_cli_finetune_two_process_matches_single_and_resumes(tmp_path):
     """The full launcher under 2-process jax.distributed: per-process
     GlobalBatcher shards feed the sharded step; Orbax saves the
     cross-process state (save_last); host 0 exports the reference-format
-    checkpoint from allgathered shards.  The 2-process export must be
-    bit-equal to the single-process run, and a cross-process resume from
-    the 1-epoch checkpoint must continue bit-equal to the straight
-    2-epoch run (the last wiring between "step works multi-host" and
-    "the launcher works multi-host")."""
+    checkpoint from allgathered shards.
+
+    Contracts (the last wiring between "step works multi-host" and "the
+    launcher works multi-host"):
+      * 2-process == 1-process at float tolerance.  GlobalBatcher's
+        contiguous block slices reassemble the EXACT single-process global
+        batch (make_array_from_process_local_data fills global rows in
+        device order), so the only residue is cross-process collective
+        reduction order — ulp-level (measured 1.5e-8 after 2 adamw steps;
+        before the block-slice + stable-hash fixes it was lr-level 1e-3).
+      * 2-process resume == 2-process straight BIT-equal (same topology,
+        same collectives: Orbax restore + stream fast-forward must add
+        nothing)."""
     w = str(tmp_path)
     _build_cli_fixtures(w)
 
@@ -168,7 +176,9 @@ def test_cli_finetune_two_process_matches_single_and_resumes(tmp_path):
     single = _load_export(_run_cli(w, "out_single", 1, epochs=2))
     assert set(straight2) == set(single)
     for k in straight2:
-        np.testing.assert_array_equal(straight2[k], single[k], err_msg=k)
+        np.testing.assert_allclose(
+            straight2[k], single[k], rtol=0, atol=1e-6, err_msg=k
+        )
 
     first = _run_cli(w, "out_first", 2, epochs=1)
     resumed = _load_export(_run_cli(
