@@ -157,6 +157,51 @@ def run(workdir: str, *, windows=(4, 8), max_new=12, timed_runs=3) -> dict:
     g_fwds = greedy_forwards(g_outs)
     n_rows = sum(len(b["keys"]) for b, _, _ in prepped)
 
+    def per_row_spec(window):
+        """Per-UTTERANCE speculative accounting: each row decoded alone.
+
+        The batched loop above is synchronous — it runs until the WORST
+        row of the batch finishes, so a single rejected-draft row erases
+        the whole batch's forward reduction.  A per-slot server
+        (inference/continuous_spec.py) verifies each request
+        independently, so the number it realizes is the per-row one
+        measured here: sum of single-row spec forwards vs sum of
+        single-row greedy forwards, plus the draft-acceptance split.
+        """
+        import jax.numpy as jnp  # noqa: F811 (local for clarity)
+
+        s_total, g_total, acc_rows = 0, 0, []
+        for (batch, merged, sk), g_out in zip(prepped, g_outs):
+            for i in range(g_out.shape[0]):
+                o, f = speculative_greedy_generate(
+                    params["llm"], model.llm_cfg,
+                    merged.embeds[i:i + 1], merged.attention_mask[i:i + 1],
+                    merged.position_ids[i:i + 1],
+                    sk["draft_ids"][i:i + 1], sk["draft_lens"][i:i + 1],
+                    max_new_tokens=max_new, eos_token_id=eos, window=window,
+                )
+                o = np.asarray(o)
+                assert np.array_equal(o, g_out[i:i + 1]), "per-row spec != greedy"
+                row_fwds = int(np.asarray(f))
+                row_toks = int((o != eos).sum())
+                g_row = min(row_toks + (1 if (o == eos).any() else 0), max_new)
+                s_total += row_fwds
+                g_total += g_row
+                # each forward emits exactly 1 fresh token plus its
+                # accepted drafts, so accepted = emitted(incl. EOS) - fwds
+                acc_rows.append((max(g_row - row_fwds, 0),
+                                 int(np.asarray(sk["draft_lens"][i]))))
+        accepted = sum(a for a, _ in acc_rows)
+        offered = sum(d for _, d in acc_rows)
+        return {
+            "spec_llm_forwards": s_total,
+            "greedy_llm_forwards": g_total,
+            "forward_reduction": round(g_total / max(s_total, 1), 3),
+            "draft_tokens_accepted": accepted,
+            "draft_tokens_offered": offered,
+            "acceptance_rate": round(accepted / max(offered, 1), 3),
+        }
+
     result = {
         "metric": "spec_real_ctc_draft",
         "ckpt": os.path.join(workdir, "transfer_model.bin"),
@@ -179,10 +224,17 @@ def run(workdir: str, *, windows=(4, 8), max_new=12, timed_runs=3) -> dict:
         t_spec = timeit(lambda: run_spec(w))
         result["windows"][str(w)] = {
             "llm_forwards": n_fwd,
-            # sequential-forward reduction vs greedy on the SAME batches;
-            # this is the quantity that converts to wall-clock speedup
-            # when forwards dominate the step (the 1.5B regime)
-            "forward_reduction": round(g_fwds / max(n_fwd, 1), 3),
+            # BATCH-synchronous reduction vs greedy on the SAME batches:
+            # the loop runs until the WORST row finishes, so one
+            # rejected-draft row erases the whole batch's gain — this is
+            # what a static-batch decode realizes
+            "batch_forward_reduction": round(g_fwds / max(n_fwd, 1), 3),
+            # per-UTTERANCE accounting (each row decoded alone): what a
+            # per-slot server (inference/continuous_spec.py) realizes,
+            # since it verifies each request independently; this is the
+            # quantity that converts to wall-clock speedup when forwards
+            # dominate the step (the 1.5B regime)
+            "per_row": per_row_spec(w),
             # per active row a forward emits 1 + accepted-draft tokens
             # (<= window+1); the batch-mean below averages over rows that
             # finish early, so it is a lower bound on live-row acceptance
