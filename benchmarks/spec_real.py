@@ -67,7 +67,7 @@ def _build(workdir):
     batches = list(get_dataset_factory(dc.factory)(
         dc, tokenizer, "test", encoder_tokenizer=enc_tok,
     ))
-    return model, tc, tokenizer, enc_tok, batches
+    return model, tc, tokenizer, enc_tok, batches, dc
 
 
 def run(workdir: str, *, windows=(4, 8), max_new=12, timed_runs=3) -> dict:
@@ -79,7 +79,7 @@ def run(workdir: str, *, windows=(4, 8), max_new=12, timed_runs=3) -> dict:
     )
     from ps_slm_tpu.inference.speculative import speculative_greedy_generate
 
-    model, tc, tokenizer, enc_tok, batches = _build(workdir)
+    model, tc, tokenizer, enc_tok, batches, _dc = _build(workdir)
     eos = tokenizer.eos_token_id
     params = model.params
 
